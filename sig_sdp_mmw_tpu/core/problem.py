@@ -63,7 +63,10 @@ class SigState:
         Ssym = (S != 0) | (S.T != 0)
         np.fill_diagonal(Ssym, False)
         Ssym = Ssym & mask[None, :] & mask[:, None]
-        ub = int(Ssym.sum(axis=1).max()) + 1
+        # +2, not +1: the reference's csr ``setdiag(0)`` keeps an explicit
+        # stored zero on the diagonal, so its per-row nnz includes it
+        # (binary_search_relaxation.py:21-26).  Replicated for parity.
+        ub = int(Ssym.sum(axis=1).max()) + 2
         return lb, ub
 
 

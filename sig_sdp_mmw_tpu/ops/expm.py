@@ -1,0 +1,128 @@
+"""Action of the matrix exponential — the MMW solver's dominant cost.
+
+The reference computes ``expm_multiply(L/2, randn(K, D))`` with scipy's
+Al-Mohy–Higham algorithm (``sim_src/alg/mmw.py:224-229``), whose adaptive
+1-norm estimation and scaling/squaring is data-dependent control flow that
+cannot be compiled.  The TPU-native replacement is a **batched Lanczos
+(Krylov) approximation with a fixed iteration count**:
+
+* all D sketch columns run their Lanczos recurrences simultaneously, so each
+  step is one K×K (or sparse) matvec applied to a [K, D] block — an MXU
+  matmul, not D sequential solves;
+* the m×m tridiagonal exponentials are computed via batched ``eigh`` in the
+  tiny Krylov space;
+* results carry a **global log-scale**: ``expm(A) @ V = exp(sigma) * F``.
+  MMW only uses the trace-normalized Gibbs state ``exp(L)/tr`` which is
+  invariant to the scale, so ``sigma`` never needs exponentiating — this is
+  what makes fp32 viable at large ``||L||`` where the true exponential
+  overflows.
+
+Krylov error decays like ``exp(-m^2 / (4 * ||A||))`` once ``m > ||A||``
+(spectral-interval form), so a static ``m`` chosen from the analytic bound
+``||L_accu/2|| <= eta * nit`` (loss terms are constraint-normalized,
+``mmw.py:39``) gives full accuracy with no data-dependent branching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MatVec = Callable[[jax.Array], jax.Array]  # [K, D] -> [K, D], symmetric A
+
+
+def default_lanczos_iters(norm_bound: float) -> int:
+    """Static Krylov dimension for a spectral-norm bound (see module doc)."""
+    import math
+
+    m = int(math.ceil(1.25 * norm_bound + 8.0 * math.sqrt(max(norm_bound, 1.0))))
+    return max(8, min(m, 96))
+
+
+def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
+                          reorth: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """``expm(A) @ V ~= exp(sigma) * F`` via m-step batched Lanczos.
+
+    Args:
+      matvec: applies the symmetric operator A to a [K, D] block.
+      V: [K, D] block of vectors.
+      m: static Krylov dimension.
+      reorth: full re-orthogonalization against the stored basis (cheap at
+        these sizes; essential in fp32).
+
+    Returns:
+      (F, sigma): F is [K, D]; sigma is the scalar log-scale, i.e.
+      ``expm(A) @ V = exp(sigma) * F`` (same sigma for every column, so
+      cross-column inner products of F are consistently scaled).
+    """
+    K, D = V.shape
+    dtype = V.dtype
+
+    def _safe_div(x, d):
+        # Divide columns by d, but NEVER divide by a non-positive value even
+        # in the dead branch of a select — XLA may rewrite x/max(d, tiny)
+        # into x * rcp(...) patterns that breed NaN/Inf for zero columns.
+        d_ok = d > 0
+        den = jnp.where(d_ok, d, 1.0)
+        return jnp.where(d_ok[None, :], x / den[None, :], 0.0)
+
+    beta0 = jnp.linalg.norm(V, axis=0)                        # [D]
+    q0 = _safe_div(V, beta0)
+
+    Q0 = jnp.zeros((m, K, D), dtype).at[0].set(q0)
+
+    def body(carry, j):
+        Q, q_prev, q, beta_prev = carry
+        w = matvec(q) - beta_prev[None, :] * q_prev
+        alpha = jnp.sum(q * w, axis=0)                        # [D]
+        w = w - alpha[None, :] * q
+        if reorth:
+            proj = jnp.einsum("mkd,kd->md", Q, w)             # [m, D]
+            proj = jnp.where((jnp.arange(m) <= j)[:, None], proj, 0.0)
+            w = w - jnp.einsum("mkd,md->kd", Q, proj)
+        beta = jnp.linalg.norm(w, axis=0)                     # [D]
+        # Happy breakdown: invariant subspace found -> stop extending.
+        alive = beta > 1e-8 * jnp.maximum(beta0, 1e-20)
+        beta_out = jnp.where(alive, beta, 0.0)
+        q_next = _safe_div(w, beta_out)
+        Q = jnp.where((jnp.arange(m) == j + 1)[:, None, None], q_next[None], Q)
+        return (Q, q, q_next, beta_out), (alpha, beta_out)
+
+    init = (Q0, jnp.zeros_like(q0), q0, jnp.zeros((D,), dtype))
+    (Q, _, _, _), (alphas, betas) = jax.lax.scan(body, init, jnp.arange(m))
+    # alphas: [m, D]; betas: [m, D] (betas[j] couples q_j and q_{j+1}).
+
+    a = alphas.T                                              # [D, m]
+    b = betas.T[:, : m - 1]                                   # [D, m-1]
+    T = jax.vmap(jnp.diag)(a)                                 # [D, m, m]
+    off = jax.vmap(lambda x: jnp.diag(x, k=1))(b)
+    T = T + off + jnp.swapaxes(off, -1, -2)
+
+    theta, U = jnp.linalg.eigh(T)                             # [D, m], [D, m, m]
+    sigma = jnp.max(theta)                                    # global log-scale
+    w1 = U[:, 0, :]                                           # e1^T U -> [D, m]
+    coeff = jnp.einsum("dmn,dn,dn->dm", U, jnp.exp(theta - sigma), w1)
+    coeff = coeff * beta0[:, None]
+    F = jnp.einsum("mkd,dm->kd", Q, coeff)
+    return F, sigma
+
+
+def taylor_expm_multiply(matvec: MatVec, V: jax.Array, steps: int,
+                         order: int = 12) -> jax.Array:
+    """Reference-style validation path: ``(exp(A/steps))^steps V`` with a
+    fixed-order truncated Taylor series per substep.  No log-scaling — only
+    for small ``||A||`` cross-checks against the Lanczos path."""
+    s = float(steps)
+
+    def substep(V, _):
+        term = V
+        acc = V
+        for p in range(1, order + 1):
+            term = matvec(term) / (s * p)
+            acc = acc + term
+        return acc, None
+
+    out, _ = jax.lax.scan(substep, V, None, length=steps)
+    return out
