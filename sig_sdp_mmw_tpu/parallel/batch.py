@@ -1,0 +1,167 @@
+"""Scenario batching + speculative parallel-Z search.
+
+Two TPU-native parallel modes the reference cannot express:
+
+* :func:`solve_scenarios_batched` — ``vmap`` the whole MMW solve over a
+  stacked batch of scenario states, sharded over a (batch, graph) mesh: the
+  batch axis spreads independent instances across chips (the reference's
+  seed loops), the graph axis row-partitions the K×K state inside each
+  instance (GSPMD inserts ICI collectives);
+
+* :class:`ParallelProbeSearch` — because Z is a *traced* scalar in
+  :func:`sig_sdp_mmw_tpu.models.mmw.mmw_solve`, candidate slot counts vmap
+  too: solve ALL Z in [lb, ub] simultaneously and take the smallest feasible
+  one.  This replaces the reference's sequential binary search
+  (``sim_src/alg/binary_search_relaxation.py:44-72``) with one batched solve
+  + one batched rounding — a latency win whenever chips are idle, and the
+  TPU answer to the search being inherently sequential.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sig_sdp_mmw_tpu.core.problem import SigState
+from sig_sdp_mmw_tpu.models.mmw import mmw_solve
+from sig_sdp_mmw_tpu.models.rounding import _rounding_batch, _default_z_pad
+from sig_sdp_mmw_tpu.utils.stats import StatsObject
+
+
+def stack_states(states: Sequence[SigState]) -> SigState:
+    """Stack equal-padded states into one batched SigState pytree [B, ...]."""
+    K = states[0].K
+    if any(s.Kp != states[0].Kp for s in states):
+        raise ValueError("all states must share Kp (use a common pad_to)")
+    return SigState(
+        S=jnp.stack([s.S for s in states]),
+        Q=jnp.stack([s.Q for s in states]),
+        h_max=jnp.stack([s.h_max for s in states]),
+        mask=jnp.stack([s.mask for s in states]),
+        K=K,
+    )
+
+
+def _state_sharding(mesh: Mesh, batched: bool, K: int):
+    b = ("batch",) if batched else ()
+    return SigState(
+        S=NamedSharding(mesh, P(*b, "graph", None)),
+        Q=NamedSharding(mesh, P(*b, "graph", None)),
+        h_max=NamedSharding(mesh, P(*b, "graph")),
+        mask=NamedSharding(mesh, P(*b, "graph")),
+        K=K,  # static metadata must match the target pytree
+    )
+
+
+def solve_scenarios_batched(states: SigState, Z, *, nit: int, eta: float,
+                            D_pad: int, rank_pad: int, key: jax.Array,
+                            mesh: Optional[Mesh] = None,
+                            rank_radio: int = 2,
+                            lanczos_m: Optional[int] = None):
+    """vmap of :func:`mmw_solve` over the leading batch axis of ``states``.
+
+    ``Z`` may be a scalar or a [B] vector (per-instance slot counts).
+    With a mesh, inputs are sharded (batch, graph) and the compiled program
+    runs SPMD across the mesh.
+    """
+    B = states.S.shape[0]
+    Zv = jnp.broadcast_to(jnp.asarray(Z, states.S.dtype), (B,))
+    keys = jax.random.split(key, B)
+
+    def one(state, Z, key):
+        return mmw_solve(state, Z, nit=nit, eta=eta, rank_radio=rank_radio,
+                         D_pad=D_pad, rank_pad=rank_pad, key=key,
+                         lanczos_m=lanczos_m)
+
+    fn = jax.jit(jax.vmap(one))
+    if mesh is not None:
+        states = jax.device_put(
+            states, _state_sharding(mesh, batched=True, K=states.K))
+    return fn(states, Zv, keys)
+
+
+class ParallelProbeSearch(StatsObject):
+    """Solve every candidate Z in [lb, ub] at once; return the best feasible.
+
+    Drop-in alternative to
+    :class:`sig_sdp_mmw_tpu.models.search.BinarySearchRelaxation` — same
+    ``run(state) -> (z_vec, Z, rem)`` contract, same bound semantics.
+    """
+
+    def __init__(self, nit: int = 100, eta: float = 0.05, rank_radio: int = 2,
+                 nattempt: int = 10, seed: int = 0,
+                 lanczos_m: Optional[int] = None,
+                 max_probes: Optional[int] = None):
+        self.nit = nit
+        self.eta = eta
+        self.rank_radio = rank_radio
+        self.nattempt = nattempt
+        self.lanczos_m = lanczos_m
+        self.max_probes = max_probes
+        self._key = jax.random.PRNGKey(seed)
+        self._ncall = 0
+
+    def run(self, state: SigState):
+        from sig_sdp_mmw_tpu.models.search import BinarySearchRelaxation
+
+        bs = BinarySearchRelaxation()
+        lb, ub = bs.set_bounds(state)
+        candidates = np.arange(lb, ub + 1)
+        if self.max_probes is not None and candidates.size > self.max_probes:
+            # Coarse-to-fine: probe a subsample, then refine around the best.
+            candidates = np.unique(np.linspace(lb, ub, self.max_probes)
+                                   .round().astype(int))
+        self._ncall += 1
+        key = jax.random.fold_in(self._key, self._ncall)
+
+        tic = self._get_tic()
+        z_vecs, rems, Zs = self._probe(state, candidates, key)
+        tim = self._get_tim(tic)
+        self._add_np_log("pp_search", 0,
+                         np.array([lb, ub, candidates.size, tim]))
+
+        feasible = np.where(rems == 0)[0]
+        if feasible.size:
+            i = int(feasible[np.argmin(Zs[feasible])])
+            return z_vecs[i][: state.K], int(Zs[i]), 0
+        # Nothing feasible in [lb, ub]: fall back to the reference's
+        # window-shifting behavior via the sequential search.
+        from sig_sdp_mmw_tpu.models.mmw import MMW
+
+        bs.feasibility_check_alg = MMW(nit=self.nit, eta=self.eta,
+                                       rank_radio=self.rank_radio)
+        return bs.run(state)
+
+    def _probe(self, state: SigState, candidates: np.ndarray, key):
+        n = candidates.size
+        D_pad = ((int(candidates.max()) * self.rank_radio + 15) // 16) * 16
+        rank_pad = min(D_pad, state.Kp - 1)
+        Z_pad = max(_default_z_pad(state),
+                    ((int(candidates.max()) + 15) // 16) * 16)
+
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape) if hasattr(x, "shape")
+            else x, state)
+        out = solve_scenarios_batched(
+            states, jnp.asarray(candidates, jnp.float32), nit=self.nit,
+            eta=self.eta, D_pad=D_pad, rank_pad=rank_pad, key=key,
+            rank_radio=self.rank_radio, lanczos_m=self.lanczos_m)
+
+        rkeys = jax.random.split(jax.random.fold_in(key, 1), n)
+
+        @functools.partial(jax.jit, static_argnames=("Z_pad", "nattempt"))
+        def round_all(states, gXs, Zs, keys, Z_pad, nattempt):
+            return jax.vmap(
+                lambda st, gX, Z, k: _rounding_batch(st, gX, Z, k, Z_pad,
+                                                     nattempt)
+            )(states, gXs, Zs, keys)
+
+        z_vecs, rems = round_all(states, out.X_half,
+                                 jnp.asarray(candidates, jnp.int32), rkeys,
+                                 Z_pad, self.nattempt)
+        return np.asarray(z_vecs), np.asarray(rems), candidates
