@@ -7,4 +7,6 @@ from sig_sdp_mmw_tpu.models.rounding import (  # noqa: F401
 )
 from sig_sdp_mmw_tpu.models.search import BinarySearchRelaxation  # noqa: F401
 from sig_sdp_mmw_tpu.models.baselines import RandSDPSolver, SpectralSDPSolver  # noqa: F401
+from sig_sdp_mmw_tpu.models.admm import ADMMSDPSolver  # noqa: F401
+from sig_sdp_mmw_tpu.models.lrp import LRPSolver  # noqa: F401
 from sig_sdp_mmw_tpu.models.heuristics import MAX_GAIN, MAX_ASSO, MAX_RAND  # noqa: F401

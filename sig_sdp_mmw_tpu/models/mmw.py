@@ -190,7 +190,8 @@ def mmw_solve(state: SigState, Z, *, nit: int, eta: float, rank_radio: int = 2,
         G = jnp.where(rn > 0, G / jnp.where(rn > 0, rn, 1.0), 0.0)
 
         X_half, _sigma = lanczos_expm_multiply(
-            lambda V: 0.5 * lax.dot(L_accu, V, precision=_PREC), G, m=lanczos_m)
+            lambda V: 0.5 * lax.dot(L_accu, V, precision=_PREC), G,
+            m=lanczos_m, small_method="pade", norm_bound=eta * nit)
 
         md = jnp.sum(X_half * X_half, axis=1)
         X_trace = jnp.sum(md) / K

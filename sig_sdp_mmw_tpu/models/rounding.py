@@ -32,13 +32,15 @@ from jax import lax
 from sig_sdp_mmw_tpu.core.problem import SigState
 
 
-def _one_attempt(state: SigState, gX, randv, Z, Z_pad: int):
-    """One rounding attempt (``sdp_solver.py:27-107``); jit-friendly.
+def _greedy_assign(state: SigState, order, pref, Z, Z_pad: int):
+    """Greedy user-major assignment core shared by SDP rounding, LP rounding
+    and the MAX_RAND heuristic (all three use the same feasibility scans,
+    only the user order and slot preference differ).
 
     Args:
       state: problem state (S diag is removed internally, as in the reference).
-      gX: [Kp, D] factor; rows of padded users must be zero.
-      randv: [Z_pad, D] random slot directions (unit rows).
+      order: [Kp] user visit order (padded users last).
+      pref: [Z_pad, Kp] slot preference rank per user (0 = most preferred).
       Z: traced int — number of usable slots.
 
     Returns: (z_vec [Kp] int32, remainder scalar int32, assigned mask).
@@ -51,16 +53,7 @@ def _one_attempt(state: SigState, gX, randv, Z, Z_pad: int):
     h_max = state.h_max
     mask = state.mask
     Snz = S != 0.0
-
-    # User order: decreasing ||gX row|| (sdp_solver.py:51); padded users last.
-    norms = jnp.linalg.norm(gX, axis=1)
-    order = jnp.argsort(-jnp.where(mask, norms, -jnp.inf))
-
-    # Slot preference: decreasing inner product (sdp_solver.py:56-57).
-    inprod = randv @ gX.T                        # [Z_pad, Kp]
     slot_ok = (jnp.arange(Z_pad) < Z)[:, None]
-    pref = jnp.argsort(jnp.argsort(-jnp.where(slot_ok, inprod, -jnp.inf),
-                                   axis=0), axis=0)   # rank of each slot, [Z_pad, Kp]
 
     def user_step(kk, carry):
         slot_of, gain_sum, asso_sum = carry
@@ -105,6 +98,20 @@ def _one_attempt(state: SigState, gX, randv, Z, Z_pad: int):
     assigned = slot_of >= 0
     remainder = jnp.sum((~assigned) & mask)
     return slot_of, remainder, assigned
+
+
+def _one_attempt(state: SigState, gX, randv, Z, Z_pad: int):
+    """One SDP rounding attempt (``sdp_solver.py:27-107``)."""
+    # User order: decreasing ||gX row|| (sdp_solver.py:51); padded users last.
+    norms = jnp.linalg.norm(gX, axis=1)
+    order = jnp.argsort(-jnp.where(state.mask, norms, -jnp.inf))
+
+    # Slot preference: decreasing inner product (sdp_solver.py:56-57).
+    inprod = randv @ gX.T                        # [Z_pad, Kp]
+    slot_ok = (jnp.arange(Z_pad) < Z)[:, None]
+    pref = jnp.argsort(jnp.argsort(-jnp.where(slot_ok, inprod, -jnp.inf),
+                                   axis=0), axis=0)
+    return _greedy_assign(state, order, pref, Z, Z_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("Z_pad", "nattempt"))

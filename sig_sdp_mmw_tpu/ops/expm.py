@@ -41,8 +41,46 @@ def default_lanczos_iters(norm_bound: float) -> int:
     return max(8, min(m, 96))
 
 
+def _expm_e1_batched_sym(T: jax.Array, norm_bound: float,
+                         taylor_order: int = 12) -> Tuple[jax.Array, jax.Array]:
+    """``exp(T - sigma I) @ e1`` for a batch of small symmetric matrices.
+
+    TPU-friendly alternative to batched ``eigh`` (QR iterations serialize
+    badly on the MXU): a *static* scaling-and-squaring with a global
+    Gershgorin shift.  ``norm_bound`` is a static spectral-norm bound that
+    fixes the squaring count at trace time — no data-dependent control flow.
+
+    Returns (y [D, m], sigma): true value is ``exp(sigma) * y``.
+    """
+    import math as _math
+
+    D, m, _ = T.shape
+    # Global shift: largest Gershgorin upper bound across the batch.
+    diag = jnp.diagonal(T, axis1=-2, axis2=-1)
+    radii = jnp.sum(jnp.abs(T), axis=-1) - jnp.abs(diag)
+    sigma = jnp.max(diag + radii)
+    M = T - sigma * jnp.eye(m, dtype=T.dtype)[None]
+
+    # Spectrum of M lies in [-2*norm_bound, 0]; scale so ||M/2^s|| <= ~1.
+    s = max(0, int(_math.ceil(_math.log2(max(2.0 * norm_bound, 1.0)))))
+    Ms = M / (2.0 ** s)
+
+    E = jnp.eye(m, dtype=T.dtype)[None] + Ms
+    term = Ms
+    for p in range(2, taylor_order + 1):
+        term = jnp.einsum("dij,djk->dik", term, Ms,
+                          precision=jax.lax.Precision.HIGHEST) / p
+        E = E + term
+    for _ in range(s):
+        E = jnp.einsum("dij,djk->dik", E, E,
+                       precision=jax.lax.Precision.HIGHEST)
+    return E[:, :, 0], sigma
+
+
 def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
-                          reorth: bool = True) -> Tuple[jax.Array, jax.Array]:
+                          reorth: bool = True,
+                          small_method: str = "eigh",
+                          norm_bound: float = None) -> Tuple[jax.Array, jax.Array]:
     """``expm(A) @ V ~= exp(sigma) * F`` via m-step batched Lanczos.
 
     Args:
@@ -100,10 +138,15 @@ def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
     off = jax.vmap(lambda x: jnp.diag(x, k=1))(b)
     T = T + off + jnp.swapaxes(off, -1, -2)
 
-    theta, U = jnp.linalg.eigh(T)                             # [D, m], [D, m, m]
-    sigma = jnp.max(theta)                                    # global log-scale
-    w1 = U[:, 0, :]                                           # e1^T U -> [D, m]
-    coeff = jnp.einsum("dmn,dn,dn->dm", U, jnp.exp(theta - sigma), w1)
+    if small_method == "pade":
+        # Matmul-only small expm (fast path on TPU; see _expm_e1_batched_sym).
+        nb = norm_bound if norm_bound is not None else float(m)
+        coeff, sigma = _expm_e1_batched_sym(T, nb)
+    else:
+        theta, U = jnp.linalg.eigh(T)                         # [D, m], [D, m, m]
+        sigma = jnp.max(theta)                                # global log-scale
+        w1 = U[:, 0, :]                                       # e1^T U -> [D, m]
+        coeff = jnp.einsum("dmn,dn,dn->dm", U, jnp.exp(theta - sigma), w1)
     coeff = coeff * beta0[:, None]
     F = jnp.einsum("mkd,dm->kd", Q, coeff)
     return F, sigma

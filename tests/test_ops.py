@@ -59,6 +59,22 @@ def test_lanczos_expm_scale_invariant_inner_products():
     np.testing.assert_allclose(G, G_want, atol=1e-8)
 
 
+@pytest.mark.parametrize("norm", [1.0, 10.0, 40.0])
+def test_lanczos_expm_pade_matches_scipy(norm):
+    K, D = 120, 16
+    A = random_sym(K, norm, seed=int(norm))
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((K, D))
+    want = scipy.sparse.linalg.expm_multiply(scipy.sparse.csr_matrix(A), V)
+
+    Aj = jnp.asarray(A)
+    m = default_lanczos_iters(norm)
+    F, sigma = lanczos_expm_multiply(lambda X: Aj @ X, jnp.asarray(V), m=m,
+                                     small_method="pade", norm_bound=norm)
+    got = np.asarray(F) * np.exp(float(sigma))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * np.abs(want).max())
+
+
 def test_lanczos_expm_happy_breakdown():
     """A = c*I gives Krylov dimension 1; must not NaN."""
     K, D = 32, 4
