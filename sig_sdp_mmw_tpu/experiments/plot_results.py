@@ -1,0 +1,229 @@
+"""Render the paper-style figures from experiment output dirs.
+
+One entry point for the reference's ``plot_*.py`` family: point it at the
+``-ail`` output dir of any sim script and it infers which figures to draw
+from the metric-file names.
+
+  python -m sig_sdp_mmw_tpu.experiments.plot_results <data_dir> [--out pdfdir]
+
+Figures (reference counterparts in sim_script/journal_version + ton_major_rv):
+  * ``mmw-<cell>-*`` etc.        -> avg/max BLER vs network size, BLER CDF
+                                    (plot_data_bler_avg_max_*.py)
+  * ``mmw-dual-*``               -> duality-gap UB/LB curves (plot_duality_gap,
+                                    plot_max_vio)
+  * ``conv-rho-* / conv-alp-*``  -> max-violation convergence (plot_convergence_*)
+  * ``*-time-*``                 -> solve-time vs K (plot_data_mmw_scs_iter_time,
+                                    plot_data_mmw_time)
+  * ``online-*``                 -> online BLER vs staleness step
+                                    (plot_data_bler_online*.py)
+  * ``graph-*``                  -> K / Omega / C envelopes (plot_graph_test)
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import csv
+import os
+import re
+from typing import Dict, List
+
+import numpy as np
+
+
+def _read_metric_files(data_dir: str) -> Dict[str, List[List[float]]]:
+    out = {}
+    for name in sorted(os.listdir(data_dir)):
+        p = os.path.join(data_dir, name)
+        if not os.path.isfile(p):
+            continue
+        rows = []
+        with open(p) as f:
+            for row in csv.reader(f):
+                if row:
+                    rows.append([float(x) for x in row])
+        out[name] = rows
+    return out
+
+
+def _fig(path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=120)
+    return plt, fig, ax
+
+
+def plot_bler(data, out_dir):
+    groups = collections.defaultdict(dict)   # method -> cell -> bler array
+    for name, rows in data.items():
+        m = re.match(r"(\w+)-(\d+)-(\d+)$", name)
+        if not m or name.startswith(("online", "conv", "graph")):
+            continue
+        method, cell = m.group(1), int(m.group(2))
+        blers = np.concatenate([np.asarray(r[3:]) for r in rows])
+        groups[method][cell] = blers
+    if not groups:
+        return
+    plt, fig, ax = _fig(out_dir)
+    for method, cells in sorted(groups.items()):
+        xs = sorted(cells)
+        ax.semilogy(xs, [cells[c].mean() for c in xs], "-o", label=f"{method} avg")
+        ax.semilogy(xs, [cells[c].max() for c in xs], "--x", label=f"{method} max")
+    ax.set_xlabel("cell size l (grid = l x l APs)")
+    ax.set_ylabel("BLER")
+    ax.legend(fontsize=7)
+    ax.grid(True, which="both", alpha=0.3)
+    fig.savefig(os.path.join(out_dir, "bler_avg_max.pdf"), bbox_inches="tight")
+
+    plt2, fig2, ax2 = _fig(out_dir)
+    for method, cells in sorted(groups.items()):
+        allb = np.sort(np.concatenate(list(cells.values())))
+        ax2.semilogx(allb, np.linspace(0, 1, allb.size), label=method)
+    ax2.set_xlabel("per-user BLER")
+    ax2.set_ylabel("CDF")
+    ax2.legend(fontsize=8)
+    ax2.grid(True, which="both", alpha=0.3)
+    fig2.savefig(os.path.join(out_dir, "bler_cdf.pdf"), bbox_inches="tight")
+
+
+def plot_gap(data, out_dir, prefix="mmw-dual-", fname="duality_gap.pdf"):
+    plt, fig, ax = _fig(out_dir)
+    drew = False
+    for name, rows in sorted(data.items()):
+        if not name.startswith(prefix):
+            continue
+        ubs = np.asarray([r[2:] for r in rows[0::2]])
+        ax.plot(ubs.mean(axis=0), label=f"{name} UB")
+        if len(rows) > 1:
+            lbs = np.asarray([r[2:] for r in rows[1::2]])
+            ax.plot(lbs.mean(axis=0), "--", label=f"{name} LB")
+        drew = True
+    if not drew:
+        return
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("duality gap telemetry")
+    ax.legend(fontsize=6)
+    ax.grid(True, alpha=0.3)
+    fig.savefig(os.path.join(out_dir, fname), bbox_inches="tight")
+
+
+def plot_convergence(data, out_dir):
+    for tag in ("conv-rho-", "conv-alp-"):
+        plt, fig, ax = _fig(out_dir)
+        drew = False
+        for name, rows in sorted(data.items()):
+            if not name.startswith(tag):
+                continue
+            ub = np.asarray([r[2:] for r in rows]).mean(axis=0)
+            ax.plot(ub, label=name)
+            drew = True
+        if not drew:
+            continue
+        ax.set_xlabel("MMW iteration")
+        ax.set_ylabel("max constraint violation of averaged X")
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.3)
+        fig.savefig(os.path.join(out_dir, f"{tag.strip('-')}.pdf"),
+                    bbox_inches="tight")
+
+
+def plot_time(data, out_dir):
+    series = collections.defaultdict(list)   # name -> (K, wall_us)
+    for name, rows in data.items():
+        m = re.match(r"(\w+)-time-(\d+)-(\d+)$", name)
+        if not m:
+            continue
+        for r in rows:
+            if len(r) >= 5:
+                series[m.group(1)].append((r[2], r[4]))
+    if not series:
+        return
+    plt, fig, ax = _fig(out_dir)
+    for name, pts in sorted(series.items()):
+        pts = sorted(pts)
+        ks = sorted({k for k, _ in pts})
+        med = [np.median([t for k2, t in pts if k2 == k]) / 1e6 for k in ks]
+        ax.plot(ks, med, "-o", label=name)
+    ax.set_xlabel("users K")
+    ax.set_ylabel("end-to-end solve time (s)")
+    ax.legend(fontsize=8)
+    ax.grid(True, alpha=0.3)
+    fig.savefig(os.path.join(out_dir, "solve_time_vs_K.pdf"),
+                bbox_inches="tight")
+
+
+def plot_online(data, out_dir):
+    curves = collections.defaultdict(dict)   # (method, nit) -> step -> mean bler
+    for name, rows in data.items():
+        m = re.match(r"online-(\w+)-(\d+)-(\d+)-(\d+)-(\d+)$", name)
+        if not m:
+            continue
+        method, step, nit = m.group(1), int(m.group(2)), int(m.group(3))
+        blers = np.concatenate([np.asarray(r[2:]) for r in rows])
+        curves[(method, nit)][step] = blers.mean()
+    if not curves:
+        return
+    plt, fig, ax = _fig(out_dir)
+    for (method, nit), steps in sorted(curves.items()):
+        xs = sorted(steps)
+        ax.semilogy(xs, [steps[s] for s in xs], "-o",
+                    label=f"{method} (nit={nit})")
+    ax.set_xlabel("staleness step")
+    ax.set_ylabel("avg BLER")
+    ax.legend(fontsize=7)
+    ax.grid(True, which="both", alpha=0.3)
+    fig.savefig(os.path.join(out_dir, "online_bler.pdf"), bbox_inches="tight")
+
+
+def plot_graph(data, out_dir):
+    pts = collections.defaultdict(list)      # rho -> (cell, K, omega, C)
+    for name, rows in data.items():
+        m = re.match(r"graph-(\d+)-(\d+)$", name)
+        if not m:
+            continue
+        cell, rho = int(m.group(1)), int(m.group(2))
+        arr = np.asarray([r[2:] for r in rows]).mean(axis=0)
+        pts[rho].append((cell, *arr[:3]))
+    if not pts:
+        return
+    plt, fig, axes = None, None, None
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.5), dpi=120)
+    for rho, rowlist in sorted(pts.items()):
+        rowlist = sorted(rowlist)
+        cells = [r[0] for r in rowlist]
+        for ax, idx, lab in zip(axes, (1, 2, 3), ("K", "Omega", "C")):
+            ax.plot(cells, [r[idx] for r in rowlist], "-o",
+                    label=f"rho={rho / 1e4}")
+            ax.set_xlabel("cell size")
+            ax.set_ylabel(lab)
+            ax.grid(True, alpha=0.3)
+    axes[0].legend(fontsize=7)
+    fig.savefig(os.path.join(out_dir, "graph_stats.pdf"), bbox_inches="tight")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("data_dir")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    out_dir = args.out or args.data_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    data = _read_metric_files(args.data_dir)
+    plot_bler(data, out_dir)
+    plot_gap(data, out_dir)
+    plot_convergence(data, out_dir)
+    plot_time(data, out_dir)
+    plot_online(data, out_dir)
+    plot_graph(data, out_dir)
+    print("figures written to", out_dir)
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

