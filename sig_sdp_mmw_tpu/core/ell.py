@@ -1,0 +1,186 @@
+"""Static-shape ELL sparse graph container — the million-link state ABI.
+
+The dense [K, K] backend (:mod:`sig_sdp_mmw_tpu.core.problem`) is ideal up to
+a few thousand users; the reference's own scale tops out near K~1000 (SURVEY
+§0).  The north-star configs (BASELINE.json: 100k-1M links) need sparse
+state.  TPU-native sparse = **padded ELL**: every row stores exactly
+``deg_pad`` (column, value) slots, padding with (0, 0.0) — a zero value
+kills the padded contribution in every gather-accumulate, so no masks are
+needed on the hot path and all shapes are static.
+
+Arrays (Kp rows, all padded):
+
+* ``s_cols/s_vals``   [Kp, degS]  — S tilde rows (S^T, association pairs and
+  diagonal removed: the interference operator of ``mmw.py:26-41``);
+* ``st_cols/st_vals`` [Kp, degS]  — its transpose (for S̃^T matvecs);
+* ``a_i/a_j``         [E_pad]     — association upper-tri edge list
+  (the F constraints), with ``a_mask``;
+* ``q_cols/q_eidx``   [Kp, degQ]  — per-row association neighbors + pointer
+  into the edge array (so the LF matvec is gather-only, no scatter);
+* ``diag_S``          [Kp]        — own-AP gains (h_max derivation);
+* ``h_max, mask``     [Kp].
+
+Z-dependent quantities (norm_H) are computed inside the solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllState:
+    s_cols: jax.Array   # [Kp, degS] int32
+    s_vals: jax.Array   # [Kp, degS]
+    st_cols: jax.Array  # [Kp, degS] int32 (transpose)
+    st_vals: jax.Array  # [Kp, degS]
+    s_xw: jax.Array     # [Kp, degS] symmetrization weight (1, 0.5 or 0):
+                        # 0.5 where the reverse S̃ edge also exists, so each
+                        # undirected pattern edge is counted exactly once
+    st_xw: jax.Array    # [Kp, degS] same, for the transpose
+    a_i: jax.Array      # [E_pad] int32
+    a_j: jax.Array      # [E_pad] int32
+    a_mask: jax.Array   # [E_pad] bool
+    q_cols: jax.Array   # [Kp, degQ] int32
+    q_eidx: jax.Array   # [Kp, degQ] int32 (index into a_* arrays)
+    q_mask: jax.Array   # [Kp, degQ] bool
+    diag_S: jax.Array   # [Kp]
+    h_max: jax.Array    # [Kp]
+    mask: jax.Array     # [Kp] bool
+    K: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def Kp(self) -> int:
+        return self.s_cols.shape[0]
+
+    @property
+    def E_pad(self) -> int:
+        return self.a_i.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+def build_st_csr(S_csr, Q_csr):
+    """S tilde as CSR: S^T with association pairs and diagonal removed
+    (``mmw.py:28-33``), via sparse elementwise ops — scalable to 1M rows."""
+    S = S_csr.tocsr()
+    Q = Q_csr.tocsr()
+    ST = S.transpose().tocsr(copy=True)
+    Qpat = Q.copy()
+    Qpat.data = np.ones_like(Qpat.data)
+    St = (ST - ST.multiply(Qpat)).tocsr()
+    St.setdiag(0.0)
+    St.eliminate_zeros()
+    St.sort_indices()
+    return St
+
+
+def ell_from_scipy(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
+                   deg_pad: Optional[int] = None,
+                   dtype=np.float32) -> EllState:
+    """Build the ELL state from the reference's CSR ``(S, Q, h_max)`` without
+    ever densifying — scalable to millions of links."""
+    import scipy.sparse
+
+    S = S_csr.tocsr()
+    Q = Q_csr.tocsr()
+    K = S.shape[0]
+    Kp = pad_rows_to or _round_up(K, 8)
+
+    diag_S = np.zeros(Kp, dtype)
+    diag_S[:K] = S.diagonal()
+
+    St = build_st_csr(S, Q)
+    StT = St.transpose().tocsr()
+    StT.sort_indices()
+
+    degS = deg_pad or _round_up(
+        max(int(np.diff(St.indptr).max(initial=0)),
+            int(np.diff(StT.indptr).max(initial=0))), 8)
+
+    def to_ell(M, deg):
+        cols = np.zeros((Kp, deg), np.int32)
+        vals = np.zeros((Kp, deg), dtype)
+        counts = np.diff(M.indptr)
+        if counts.max(initial=0) > deg:
+            raise ValueError(f"row degree {counts.max()} exceeds pad {deg}")
+        row_of = np.repeat(np.arange(M.shape[0]), counts)
+        slot_of = np.arange(M.nnz) - np.repeat(M.indptr[:-1], counts)
+        cols[row_of, slot_of] = M.indices
+        vals[row_of, slot_of] = M.data
+        return cols, vals
+
+    s_cols, s_vals = to_ell(St, degS)
+    st_cols, st_vals = to_ell(StT, degS)
+
+    # Symmetrization weights: 1 per directed edge, 0.5 where bidirectional
+    # (so undirected pattern edges are counted once in X-operator applies).
+    P = St.copy()
+    P.data = np.ones_like(P.data)
+    B = P.multiply(P.transpose()).tocsr()     # bidirectional pattern
+    Wm = (P - 0.5 * B).tocsr()
+    Wm.sort_indices()
+    s_xw = to_ell(Wm, degS)[1]
+    WmT = Wm.transpose().tocsr()
+    WmT.sort_indices()
+    st_xw = to_ell(WmT, degS)[1]
+
+    # Association upper-tri edges + per-row pointers.
+    Qu = scipy.sparse.triu(Q, k=1).tocoo()
+    E = Qu.nnz
+    E_pad = _round_up(E, 8)
+    a_i = np.zeros(E_pad, np.int32)
+    a_j = np.zeros(E_pad, np.int32)
+    a_mask = np.zeros(E_pad, bool)
+    a_i[:E], a_j[:E], a_mask[:E] = Qu.row, Qu.col, True
+
+    degQ = _round_up(int(np.diff(Q.indptr).max(initial=0)), 4)
+    q_cols = np.zeros((Kp, degQ), np.int32)
+    q_eidx = np.zeros((Kp, degQ), np.int32)
+    q_mask = np.zeros((Kp, degQ), bool)
+    # Both directions of every ut edge, grouped by endpoint, slotted by
+    # within-row cumulative count (vectorized; no per-edge Python loop).
+    ends = np.concatenate([Qu.row, Qu.col]).astype(np.int64)
+    peers = np.concatenate([Qu.col, Qu.row]).astype(np.int64)
+    eids = np.concatenate([np.arange(E), np.arange(E)])
+    order = np.argsort(ends, kind="stable")
+    ends, peers, eids = ends[order], peers[order], eids[order]
+    counts = np.bincount(ends, minlength=Kp)
+    if counts.max(initial=0) > degQ:
+        raise ValueError("association degree exceeds pad")
+    starts = np.zeros(Kp + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slots = np.arange(ends.size) - starts[ends]
+    q_cols[ends, slots] = peers
+    q_eidx[ends, slots] = eids
+    q_mask[ends, slots] = True
+
+    hm = np.zeros(Kp, dtype)
+    hm[:K] = np.asarray(h_max, dtype)
+    mask = np.zeros(Kp, bool)
+    mask[:K] = True
+
+    return EllState(
+        s_cols=jnp.asarray(s_cols), s_vals=jnp.asarray(s_vals),
+        st_cols=jnp.asarray(st_cols), st_vals=jnp.asarray(st_vals),
+        s_xw=jnp.asarray(s_xw), st_xw=jnp.asarray(st_xw),
+        a_i=jnp.asarray(a_i), a_j=jnp.asarray(a_j), a_mask=jnp.asarray(a_mask),
+        q_cols=jnp.asarray(q_cols), q_eidx=jnp.asarray(q_eidx),
+        q_mask=jnp.asarray(q_mask),
+        diag_S=jnp.asarray(diag_S), h_max=jnp.asarray(hm),
+        mask=jnp.asarray(mask), K=K)
+
+
+def ell_from_sig_state(state) -> EllState:
+    """Interop from the dense container (testing at small K)."""
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+
+    return ell_from_scipy(*state_to_scipy(state))

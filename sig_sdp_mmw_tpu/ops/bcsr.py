@@ -1,0 +1,120 @@
+"""Block-ELL sparse matmul — the MXU-native large-graph SpMM.
+
+Arbitrary row gathers are the wrong primitive on TPU: Mosaic's dynamic
+gather is tile-local and XLA's gather runs far below HBM bandwidth.  The
+interference graph, however, is *spatially local* (users only hear APs
+within a cutoff — :func:`sig_sdp_mmw_tpu.env.large.interference_cutoff_m`),
+so after reordering users by grid cell the sparse matrix is banded.  We
+store it as **block-ELL**: for each 128-row block, a padded list of nonempty
+128x128 column blocks.  The SpMM is then a fori over block slots where each
+step is a batched [128,128] x [128,D] matmul — pure MXU work, with gathers
+only at whole-block granularity (contiguous, fast).
+
+Memory trades FLOPs for bandwidth: blocks are stored dense (zeros included),
+profitable whenever block fill is above ~1% (MXU speed / gather speed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockEll:
+    bcols: jax.Array    # [Kb, maxblk] int32 — column-block indices
+    blocks: jax.Array   # [Kb, maxblk, B, B] — dense block values
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def B(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def Kb(self) -> int:
+        return self.bcols.shape[0]
+
+
+def bcsr_from_csr(M, block: int = 128, pad_rows_to: int = None,
+                  dtype=np.float32) -> BlockEll:
+    """Convert a scipy CSR matrix to BlockEll (host-side, vectorized)."""
+    import scipy.sparse
+
+    M = M.tocsr()
+    K = M.shape[0]
+    Kp = pad_rows_to or ((K + block - 1) // block) * block
+    Kb = Kp // block
+
+    coo = M.tocoo()
+    br = coo.row // block
+    bc = coo.col // block
+    blk_id = br * Kb + bc
+    uniq, inv = np.unique(blk_id, return_inverse=True)
+    ubr, ubc = uniq // Kb, uniq % Kb
+
+    counts = np.bincount(ubr, minlength=Kb)
+    maxblk = max(int(counts.max(initial=0)), 1)
+
+    bcols = np.zeros((Kb, maxblk), np.int32)
+    slot_of_uniq = np.zeros(uniq.size, np.int64)
+    starts = np.zeros(Kb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    order = np.argsort(ubr, kind="stable")
+    slots = np.arange(uniq.size) - starts[ubr[order]]
+    slot_of_uniq[order] = slots
+    bcols[ubr[order], slots] = ubc[order]
+
+    blocks = np.zeros((Kb, maxblk, block, block), dtype)
+    slot_of_entry = slot_of_uniq[inv]
+    blocks[br, slot_of_entry, coo.row % block, coo.col % block] = coo.data
+
+    return BlockEll(bcols=jnp.asarray(bcols), blocks=jnp.asarray(blocks),
+                    nrows=Kp)
+
+
+def bcsr_spmm(mat: BlockEll, V: jax.Array,
+              precision=lax.Precision.HIGHEST) -> jax.Array:
+    """BlockEll [Kp, Kp] x [Kp, D] -> [Kp, D]; all-MXU."""
+    B = mat.B
+    Kb = mat.Kb
+    D = V.shape[1]
+    Vb = V.reshape(Kb, B, D)
+    maxblk = mat.bcols.shape[1]
+
+    def slot(s, acc):
+        rhs = Vb[mat.bcols[:, s]]                  # block-granular gather
+        return acc + lax.dot_general(
+            mat.blocks[:, s], rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=precision)
+
+    out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kb, B, D), V.dtype))
+    return out.reshape(Kb * B, D)
+
+
+def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128
+                         ) -> Tuple[BlockEll, BlockEll]:
+    """(S tilde, S tilde^T) as BlockEll matrices for the MMW Lanczos matvec."""
+    from sig_sdp_mmw_tpu.core.ell import build_st_csr
+
+    St = build_st_csr(S_csr, Q_csr)
+    K = St.shape[0]
+    nr = ((K + block - 1) // block) * block
+    StT = St.transpose().tocsr()
+    return (bcsr_from_csr(St, block=block, pad_rows_to=nr),
+            bcsr_from_csr(StT, block=block, pad_rows_to=nr))
+
+
+def spatial_order(sta_locs: np.ndarray, cell_edge: float) -> np.ndarray:
+    """Permutation sorting users by grid cell (row-major), making the
+    interference graph banded for block-sparse storage."""
+    cx = np.floor(sta_locs[:, 0] / cell_edge).astype(np.int64)
+    cy = np.floor(sta_locs[:, 1] / cell_edge).astype(np.int64)
+    ncx = int(cx.max(initial=0)) + 1
+    return np.argsort(cy * ncx + cx, kind="stable")

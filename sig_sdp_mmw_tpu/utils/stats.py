@@ -145,3 +145,50 @@ class StatsObject:
 
 # Reference-compatible alias (``from sim_src.util import STATS_OBJECT``).
 STATS_OBJECT = StatsObject
+
+
+# ---------------------------------------------------------------------------
+# Small reference-parity helpers (sim_src/util.py:12-19, 274-293)
+# ---------------------------------------------------------------------------
+
+def p_true(probability_of_true: float) -> bool:
+    return bool(np.random.random() < probability_of_true)
+
+
+def db_to_ratio(a):
+    return 10.0 ** (np.asarray(a) / 10.0)
+
+
+def ratio_to_db(a):
+    return 10.0 * np.log10(np.asarray(a))
+
+
+DbToRatio = db_to_ratio
+RatioToDb = ratio_to_db
+
+
+def plot_a_array(arr, mavg_n: int = 20, name: str = "", script_file=None,
+                 postfix: str = "", idx=None, show: bool = False,
+                 save_path=None):
+    """Moving-average curve plot (``sim_src/util.py:274-293``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(16, 6), dpi=80)
+    data = np.convolve(np.asarray(arr), np.ones(mavg_n) / mavg_n, mode="valid")
+    if idx is not None:
+        plt.plot(np.asarray(idx)[: data.size], data)
+    else:
+        plt.plot(np.arange(1, data.size + 1), data)
+    if show:
+        plt.show()
+    if save_path:
+        parts = [name, postfix, get_current_time_str()]
+        if script_file:
+            parts.insert(0, os.path.splitext(os.path.basename(script_file))[0])
+        fig_dir = os.path.join(save_path, "saved_figures")
+        os.makedirs(fig_dir, exist_ok=True)
+        fig.savefig(os.path.join(fig_dir, "-".join(p for p in parts if p)))
+    plt.close(fig)
+    return data

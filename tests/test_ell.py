@@ -1,0 +1,171 @@
+"""ELL sparse backend: kernels vs dense oracles, sparse MMW vs dense MMW."""
+
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sig_sdp_mmw_tpu.core.ell import ell_from_sig_state
+from sig_sdp_mmw_tpu.core.problem import state_from_arrays
+from sig_sdp_mmw_tpu.models.mmw import mmw_solve
+from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+from sig_sdp_mmw_tpu.models.rounding import rounding, verify_assignment
+from sig_sdp_mmw_tpu.ops.ell import ell_spmm, ell_spmm_pallas
+
+
+@pytest.fixture(scope="module")
+def fix():
+    return dict(np.load(pathlib.Path(__file__).parent / "fixtures" / "mmw_small.npz"))
+
+
+@pytest.fixture(scope="module")
+def dense_state(fix):
+    return state_from_arrays(fix["S"], fix["Q"], fix["h_max"], dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def ell_state(dense_state):
+    return ell_from_sig_state(dense_state)
+
+
+def test_ell_structure(dense_state, ell_state):
+    K = dense_state.K
+    S = np.asarray(dense_state.S, dtype=np.float64)[:K, :K]
+    Q = np.asarray(dense_state.Q)[:K, :K]
+    # Rebuild dense S tilde from the ELL arrays and compare.
+    St_want = S.T.copy()
+    St_want[Q != 0] = 0.0
+    np.fill_diagonal(St_want, 0.0)
+    Kp = ell_state.Kp
+    St_got = np.zeros((Kp, Kp))
+    cols = np.asarray(ell_state.s_cols)
+    vals = np.asarray(ell_state.s_vals)
+    for k in range(Kp):
+        for d in range(cols.shape[1]):
+            if vals[k, d] != 0:
+                St_got[k, cols[k, d]] += vals[k, d]
+    np.testing.assert_allclose(St_got[:K, :K], St_want, rtol=1e-6)
+
+    # Symmetrization weights cover each undirected edge exactly once.
+    W = (np.asarray(ell_state.s_xw) > 0) * np.asarray(ell_state.s_xw)
+    cover = np.zeros((Kp, Kp))
+    for k in range(Kp):
+        for d in range(cols.shape[1]):
+            if W[k, d] != 0:
+                cover[k, cols[k, d]] += W[k, d]
+    colsT = np.asarray(ell_state.st_cols)
+    WT = np.asarray(ell_state.st_xw)
+    for k in range(Kp):
+        for d in range(colsT.shape[1]):
+            if WT[k, d] != 0:
+                cover[k, colsT[k, d]] += WT[k, d]
+    pat = ((St_got != 0) | (St_got.T != 0)).astype(float)
+    np.testing.assert_allclose(cover, pat, atol=1e-7)
+
+
+def test_ell_spmm_matches_dense(ell_state, dense_state):
+    Kp = ell_state.Kp
+    rng = np.random.default_rng(0)
+    V = jnp.asarray(rng.standard_normal((Kp, 8)).astype(np.float32))
+    got = ell_spmm(ell_state.s_cols, ell_state.s_vals, V)
+
+    K = dense_state.K
+    S = np.asarray(dense_state.S, dtype=np.float64)[:K, :K]
+    Q = np.asarray(dense_state.Q)[:K, :K]
+    St = S.T.copy()
+    St[Q != 0] = 0.0
+    np.fill_diagonal(St, 0.0)
+    want = St @ np.asarray(V, dtype=np.float64)[:K]
+    np.testing.assert_allclose(np.asarray(got)[:K], want, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ell_spmm_pallas_interpret(ell_state):
+    """Pallas kernel (interpreter mode on CPU) vs the XLA gather path."""
+    Kp = ell_state.Kp
+    rng = np.random.default_rng(1)
+    V = jnp.asarray(rng.standard_normal((Kp, 8)).astype(np.float32))
+    want = ell_spmm(ell_state.s_cols, ell_state.s_vals, V)
+    got = ell_spmm_pallas(ell_state.s_cols, ell_state.s_vals, V,
+                          block_rows=Kp, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_sparse_mmw_matches_dense(dense_state, ell_state, fix):
+    """Same key => same sketches => the two backends must track each other."""
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    dense = jax.jit(lambda s, k: mmw_solve(s, Z, nit=60, eta=0.05, D_pad=32,
+                                           rank_pad=32, key=k))(dense_state, key)
+    sparse = jax.jit(lambda s, k: mmw_solve_ell(s, Z, nit=60, eta=0.05,
+                                                D_pad=32, rank_pad=32, key=k)
+                     )(ell_state, key)
+
+    # The iteration trajectories are IDENTICAL (same PRNG stream, same math
+    # on different representations) — the averaged-X max violation must agree
+    # to float tolerance.
+    assert float(sparse.ub_final) == pytest.approx(float(dense.ub_final),
+                                                   abs=1e-4)
+    # The final factors come from different randomized factorizations of the
+    # same averaged X (truncation of a slowly-decaying tail), so compare the
+    # Gram matrices loosely.
+    Gd = np.asarray(dense.X_half) @ np.asarray(dense.X_half).T
+    Gs = np.asarray(sparse.X_half) @ np.asarray(sparse.X_half).T
+    assert np.abs(Gs - Gd).max() < 0.25 * np.abs(Gd).max()
+    assert np.corrcoef(Gs.ravel(), Gd.ravel())[0, 1] > 0.95
+
+
+def test_bcsr_spmm_matches_ell(dense_state, ell_state):
+    import scipy.sparse
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_pair_from_state, bcsr_spmm
+
+    S, Q, h = state_to_scipy(dense_state)
+    s_b, st_b = bcsr_pair_from_state(S, Q, block=16)
+    Kp = ell_state.Kp
+    rng = np.random.default_rng(3)
+    V = jnp.asarray(rng.standard_normal((Kp, 8)).astype(np.float32))
+    want = ell_spmm(ell_state.s_cols, ell_state.s_vals, V)
+    nr = s_b.nrows
+    Vp = jnp.pad(V, ((0, nr - Kp), (0, 0))) if nr > Kp else V
+    got = bcsr_spmm(s_b, Vp)[:Kp]
+    np.testing.assert_allclose(np.asarray(got)[: dense_state.K],
+                               np.asarray(want)[: dense_state.K],
+                               rtol=1e-4, atol=1e-5)
+
+    wantT = ell_spmm(ell_state.st_cols, ell_state.st_vals, V)
+    gotT = bcsr_spmm(st_b, Vp)[:Kp]
+    np.testing.assert_allclose(np.asarray(gotT)[: dense_state.K],
+                               np.asarray(wantT)[: dense_state.K],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_mmw_bcsr_path_matches_ell_path(ell_state, dense_state, fix):
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_pair_from_state
+
+    S, Q, h = state_to_scipy(dense_state)
+    s_b, st_b = bcsr_pair_from_state(S, Q, block=16)
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    a = jax.jit(lambda e, k: mmw_solve_ell(e, Z, nit=20, eta=0.05, D_pad=32,
+                                           rank_pad=32, key=k))(ell_state, key)
+    b = jax.jit(lambda e, k: mmw_solve_ell(e, Z, nit=20, eta=0.05, D_pad=32,
+                                           rank_pad=32, key=k,
+                                           s_blocks=s_b, st_blocks=st_b)
+                )(ell_state, key)
+    assert float(b.ub_final) == pytest.approx(float(a.ub_final), abs=1e-4)
+
+
+def test_sparse_mmw_rounding_feasible(dense_state, ell_state, fix):
+    Z = int(fix["Z_fin"])
+    out = jax.jit(lambda s, k: mmw_solve_ell(s, float(Z), nit=150, eta=0.05,
+                                             D_pad=32, rank_pad=32, key=k)
+                  )(ell_state, jax.random.PRNGKey(1))
+    z_vec, _, rem = rounding(Z, out.X_half, dense_state, jax.random.PRNGKey(2))
+    assert rem == 0
+    ok, ni, na = verify_assignment(dense_state, z_vec)
+    assert ok, (ni, na)

@@ -1,0 +1,63 @@
+"""Large-scale sparse generator: must match the reference-semantics dense
+generator at overlapping scales, and scale to 10^4+ users on the host."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sig_sdp_mmw_tpu.env.env import EnvParams, WirelessEnv
+from sig_sdp_mmw_tpu.env.large import generate_large_state_csr, interference_cutoff_m
+
+
+def test_cutoff_is_conservative():
+    p = EnvParams(cell_size=10, sta_density_per_1m2=75e-4)
+    assert interference_cutoff_m(p) > p.cell_edge  # at least one cell ring
+
+
+def test_matches_dense_generator_distributionally():
+    """Same physics: at the same size, graph statistics must agree closely
+    with the dense-path generator (different RNG streams, so compare
+    distributions, not matrices)."""
+    cell, rho = 8, 75e-4
+    S, Q, h = generate_large_state_csr(cell, rho, seed=0)
+    e = WirelessEnv(cell_size=cell, sta_density_per_1m2=rho, seed=0)
+    st = e.generate_state()
+    K = st.K
+    assert S.shape[0] == K
+
+    Sd = np.asarray(st.S)[:K, :K]
+    deg_sparse = np.diff(S.indptr)
+    deg_dense = (Sd != 0).sum(axis=1)
+    assert abs(deg_sparse.mean() - deg_dense.mean()) < 0.15 * deg_dense.mean()
+
+    hd = np.asarray(st.h_max)[:K]
+    assert abs(np.median(h) - np.median(hd)) < 0.05 * abs(np.median(hd))
+
+    nq_sparse = Q.nnz / K
+    nq_dense = (np.asarray(st.Q)[:K, :K] != 0).sum() / K
+    assert abs(nq_sparse - nq_dense) < 0.5 * max(nq_dense, 1)
+
+
+def test_scales_to_10k_users():
+    S, Q, h = generate_large_state_csr(60, 75e-4, seed=1)   # K = 10800
+    K = S.shape[0]
+    assert K == 10800
+    assert S.nnz > 10 * K          # genuinely coupled graph
+    assert S.nnz < 200 * K         # and genuinely sparse
+    assert np.all(h > -1.0)
+    # Diagonal present for every user (own-AP gain from power control).
+    assert np.all(S.diagonal() > 0)
+
+
+def test_ell_solver_runs_at_10k():
+    import jax
+    from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+    from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+
+    S, Q, h = generate_large_state_csr(60, 75e-4, seed=2)
+    ell = ell_from_scipy(S, Q, h)
+    out = jax.jit(lambda e, k: mmw_solve_ell(e, 24.0, nit=5, eta=0.05,
+                                             D_pad=48, rank_pad=48, key=k,
+                                             lanczos_m=8)
+                  )(ell, jax.random.PRNGKey(0))
+    assert np.isfinite(float(out.ub_final))

@@ -1,0 +1,89 @@
+"""Benchmark the ELL sparse MMW solver at large K on the TPU.
+
+Config 4 of BASELINE.json: ~100k-link sparse graph, single chip.
+Reports per-iteration time and sustained nnz*D throughput.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import numpy as np
+
+print = functools.partial(print, flush=True)
+
+
+def main(cell=183, rho=75e-4, nit=20, lanczos_m=8):
+    import jax
+
+    from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+    from sig_sdp_mmw_tpu.env.large import generate_large_state_csr
+    from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+
+    t0 = time.time()
+    S, Q, h = generate_large_state_csr(cell, rho, seed=0)
+    K = S.shape[0]
+    print(f"generated K={K} nnz(S)={S.nnz} nnz(Q)={Q.nnz} "
+          f"in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    ell = ell_from_scipy(S, Q, h)
+    print(f"ELL build {time.time()-t0:.1f}s degS={ell.s_cols.shape[1]} "
+          f"E_pad={ell.E_pad} Kp={ell.Kp}")
+
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_pair_from_state
+
+    t0 = time.time()
+    s_blocks, st_blocks = bcsr_pair_from_state(S, Q)
+    print(f"BCSR build {time.time()-t0:.1f}s Kb={s_blocks.Kb} "
+          f"maxblk={s_blocks.bcols.shape[1]} "
+          f"blocks={s_blocks.blocks.size*4/1e6:.0f}MB")
+
+    # Z scale: max association degree + margin.
+    lb = int(np.diff(Q.indptr).max()) + 1
+    Z = float(lb + 8)
+    D_pad = ((int(Z) * 2 + 15) // 16) * 16
+    print(f"lb={lb} Z={Z} D_pad={D_pad}")
+
+    key = jax.random.PRNGKey(0)
+    for name, kw in [("ell", {}),
+                     ("bcsr", dict(s_blocks=s_blocks, st_blocks=st_blocks))]:
+        fn = jax.jit(lambda e, k, kw=kw: mmw_solve_ell(
+            e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
+            lanczos_m=lanczos_m, reorth=True, **kw))
+        t0 = time.time()
+        out = fn(ell, key)
+        jax.block_until_ready(out.X_half)
+        print(f"[{name}] compile+first {time.time()-t0:.1f}s "
+              f"ub={float(out.ub_final):.4f}")
+
+        times = []
+        for i in range(3):
+            k = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            out = fn(ell, k)
+            jax.block_until_ready(out.X_half)
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        per_it = t / nit
+        nnz = S.nnz
+        flops = (2 * lanczos_m + 4) * 2 * nnz * D_pad
+        print(f"[{name}] solve {t*1e3:.1f} ms nit={nit} -> "
+              f"{per_it*1e3:.2f} ms/iter, {nit/t:.1f} it/s, "
+              f"~{flops/per_it/1e9:.1f} GFLOP/s useful sparse chain")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cell", type=int, default=183)
+    ap.add_argument("--rho", type=float, default=75e-4)
+    ap.add_argument("--nit", type=int, default=20)
+    ap.add_argument("--m", type=int, default=8)
+    a = ap.parse_args()
+    main(a.cell, a.rho, a.nit, a.m)
