@@ -68,17 +68,35 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                   rank_radio: int = 2, D_pad: int, rank_pad: int,
                   key: jax.Array, lanczos_m: Optional[int] = None,
                   log_ub: bool = False, reorth: bool = True,
-                  rsvd_iters: int = 3, s_blocks=None, st_blocks=None
-                  ) -> MMWEllOutput:
-    """``s_blocks``/``st_blocks``: optional :class:`BlockEll` forms of S̃ and
-    S̃^T (see :mod:`sig_sdp_mmw_tpu.ops.bcsr`).  When provided, the Lanczos
-    matvec — the per-iteration hot path — runs on the MXU via block-sparse
-    matmuls instead of row gathers (~4x on banded graphs)."""
+                  rsvd_iters: int = 3, bcsr=None) -> MMWEllOutput:
+    """``bcsr``: optional :class:`sig_sdp_mmw_tpu.ops.bcsr.BcsrOperands`.
+    When provided, EVERY per-iteration O(nnz*D) operation — the Lanczos
+    matvecs, the association-edge operator and the pattern-restricted Gram
+    accumulation — runs as block-sparse batched matmuls on the MXU instead
+    of row gathers (the block-native large-graph mode)."""
     Kp = ell.Kp
     K = ell.K
     E_pad = ell.E_pad
     dtype = ell.s_vals.dtype
     Zf = jnp.asarray(Z, dtype)
+    use_bcsr = bcsr is not None
+    if use_bcsr:
+        from sig_sdp_mmw_tpu.ops.bcsr import (BlockEll, bcsr_block_gram,
+                                              bcsr_spmm, bcsr_spmm_transpose)
+
+        nrows = bcsr.s_blocks.nrows
+        padn = nrows - Kp
+        Bsz = bcsr.s_blocks.B
+        Kb = bcsr.s_blocks.Kb
+        maxblkQ = bcsr.q_bcols.shape[1]
+
+        def padV(V):
+            return jnp.pad(V, ((0, padn), (0, 0))) if padn else V
+
+        def q_block_vals(edge_vals):
+            flat = jnp.zeros((Kb * maxblkQ * Bsz * Bsz,), dtype)
+            flat = flat.at[bcsr.q_pos].set(edge_vals[bcsr.q_eidx])
+            return flat.reshape(Kb, maxblkQ, Bsz, Bsz)
 
     if lanczos_m is None:
         lanczos_m = mmw_default_lanczos_m(eta, nit)
@@ -111,18 +129,12 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         eH = (xH * (Zf - 1.0) / Zf - (ell.h_max - S_sum / Zf)) / norm_H
         return eD, eF, eH
 
-    if s_blocks is not None:
-        from sig_sdp_mmw_tpu.ops.bcsr import bcsr_spmm
-
-        padn = s_blocks.nrows - Kp
-
+    if use_bcsr:
         def s_matvec(V):
-            Vp = jnp.pad(V, ((0, padn), (0, 0))) if padn else V
-            return bcsr_spmm(s_blocks, Vp)[:Kp]
+            return bcsr_spmm(bcsr.s_blocks, padV(V))[:Kp]
 
         def st_matvec(V):
-            Vp = jnp.pad(V, ((0, padn), (0, 0))) if padn else V
-            return bcsr_spmm(st_blocks, Vp)[:Kp]
+            return bcsr_spmm(bcsr.st_blocks, padV(V))[:Kp]
     else:
         def s_matvec(V):
             return ell_spmm(ell.s_cols, ell.s_vals, V)
@@ -130,10 +142,10 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         def st_matvec(V):
             return ell_spmm(ell.st_cols, ell.st_vals, V)
 
-    def L_apply(d_accu, f_accu, hrow, V):
+    def L_apply(d_accu, q_matvec, hrow, V):
         """Implicit L_accu @ V."""
         t = d_accu[:, None] * V
-        t = t + _q_apply(ell, f_accu, V)
+        t = t + q_matvec(V)
         t = t + hrow[:, None] * s_matvec(V)
         t = t + st_matvec(hrow[:, None] * V)
         return t
@@ -145,22 +157,27 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         hrow=jnp.zeros((Kp,), dtype),
         X_mdiag=jnp.where(ell.mask, 1.0, 0.0).astype(dtype),
         xF=jnp.zeros((E_pad,), dtype), xH=jnp.zeros((Kp,), dtype),
-        s_edge=jnp.zeros(ell.s_cols.shape, dtype),
-        st_edge=jnp.zeros(ell.st_cols.shape, dtype),
         avg_mdiag=jnp.zeros((Kp,), dtype), avg_F=jnp.zeros((E_pad,), dtype),
         avg_H=jnp.zeros((Kp,), dtype),
-        avg_s=jnp.zeros(ell.s_cols.shape, dtype),
-        avg_st=jnp.zeros(ell.st_cols.shape, dtype),
         ub=jnp.zeros((nit if log_ub else 0,), dtype),
     )
+    if use_bcsr:
+        carry0["avg_bG"] = jnp.zeros((Kb, bcsr.s_blocks.bcols.shape[1],
+                                      Bsz, Bsz), dtype)
+    else:
+        carry0["s_edge"] = jnp.zeros(ell.s_cols.shape, dtype)
+        carry0["st_edge"] = jnp.zeros(ell.st_cols.shape, dtype)
+        carry0["avg_s"] = jnp.zeros(ell.s_cols.shape, dtype)
+        carry0["avg_st"] = jnp.zeros(ell.st_cols.shape, dtype)
 
     def iteration(i, c):
         # Averaging (pre-update; mmw.py:77).
         avg_mdiag = c["avg_mdiag"] + c["X_mdiag"]
         avg_F = c["avg_F"] + c["xF"]
         avg_H = c["avg_H"] + c["xH"]
-        avg_s = c["avg_s"] + c["s_edge"]
-        avg_st = c["avg_st"] + c["st_edge"]
+        if not use_bcsr:
+            avg_s = c["avg_s"] + c["s_edge"]
+            avg_st = c["avg_st"] + c["st_edge"]
 
         ub = c["ub"]
         if log_ub:
@@ -190,6 +207,16 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         f_accu = c["f_accu"] - eta * (YF * cF * 0.5)
         hrow = c["hrow"] - eta * coeff * (Zf - 1.0) / (2.0 * Zf)
 
+        if use_bcsr:
+            qvals = q_block_vals(f_accu)
+
+            def q_matvec(V):
+                return bcsr_spmm(BlockEll(bcols=bcsr.q_bcols, blocks=qvals,
+                                          nrows=nrows), padV(V))[:Kp]
+        else:
+            def q_matvec(V):
+                return _q_apply(ell, f_accu, V)
+
         # Primal (mmw.py:172-194).
         gkey = jax.random.fold_in(key, i)
         G = jax.random.normal(gkey, (Kp, D_pad), dtype)
@@ -198,7 +225,7 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         G = jnp.where(rn > 0, G / jnp.where(rn > 0, rn, 1.0), 0.0)
 
         X_half, _ = lanczos_expm_multiply(
-            lambda V: 0.5 * L_apply(d_accu, f_accu, hrow, V), G,
+            lambda V: 0.5 * L_apply(d_accu, q_matvec, hrow, V), G,
             m=lanczos_m, reorth=reorth, small_method="pade",
             norm_bound=eta * nit)
 
@@ -209,17 +236,30 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         xF = jnp.where(ell.a_mask,
                        ell_edge_gather_dot(ell.a_i, ell.a_j, X_half) * inv_tr,
                        0.0)
-        W = ell_spmm(ell.s_cols, ell.s_vals, X_half)
+        W = s_matvec(X_half)
         xH = jnp.sum(X_half * W, axis=1) * inv_tr
-        s_edge = jnp.where(ell.s_vals != 0,
-                           _edge_dots(ell, ell.s_cols, X_half, inv_tr), 0.0)
-        st_edge = jnp.where(ell.st_vals != 0,
-                            _edge_dots(ell, ell.st_cols, X_half, inv_tr), 0.0)
 
-        return dict(eaD=eaD, eaF=eaF, eaH=eaH, d_accu=d_accu, f_accu=f_accu,
-                    hrow=hrow, X_mdiag=X_mdiag, xF=xF, xH=xH, s_edge=s_edge,
-                    st_edge=st_edge, avg_mdiag=avg_mdiag, avg_F=avg_F,
-                    avg_H=avg_H, avg_s=avg_s, avg_st=avg_st, ub=ub)
+        out = dict(eaD=eaD, eaF=eaF, eaH=eaH, d_accu=d_accu, f_accu=f_accu,
+                   hrow=hrow, X_mdiag=X_mdiag, xF=xF, xH=xH,
+                   avg_mdiag=avg_mdiag, avg_F=avg_F, avg_H=avg_H, ub=ub)
+        if use_bcsr:
+            # Pattern-restricted Gram as block matmuls; the average over
+            # t=0..nit-1 excludes the final X (mmw.py:77 accumulates
+            # pre-update), hence the i<nit-1 gate.
+            Xb = padV(X_half).reshape(Kb, Bsz, D_pad)
+            Gb = bcsr_block_gram(bcsr.s_blocks.bcols, Xb) * inv_tr
+            gate = jnp.where(i < nit - 1, 1.0, 0.0).astype(dtype)
+            out["avg_bG"] = c["avg_bG"] + gate * Gb
+        else:
+            out["s_edge"] = jnp.where(
+                ell.s_vals != 0, _edge_dots(ell, ell.s_cols, X_half, inv_tr),
+                0.0)
+            out["st_edge"] = jnp.where(
+                ell.st_vals != 0, _edge_dots(ell, ell.st_cols, X_half, inv_tr),
+                0.0)
+            out["avg_s"] = avg_s
+            out["avg_st"] = avg_st
+        return out
 
     c = lax.fori_loop(0, nit, iteration, carry0)
 
@@ -234,15 +274,30 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         jnp.maximum(jnp.max(jnp.where(ell.a_mask, eF, neg)),
                     jnp.max(jnp.where(ell.mask, eH, neg)))))
 
-    avg_s = c["avg_s"] / nit * ell.s_xw
-    avg_st = c["avg_st"] / nit * ell.st_xw
+    if use_bcsr:
+        wavg = (c["avg_bG"] / nit) * bcsr.sw_vals
+        q_avg = q_block_vals(avg_F)
+        avg_bell = BlockEll(bcols=bcsr.s_blocks.bcols, blocks=wavg,
+                            nrows=nrows)
+        q_bell = BlockEll(bcols=bcsr.q_bcols, blocks=q_avg, nrows=nrows)
 
-    def X_avg_apply(V):
-        t = avg_mdiag[:, None] * V
-        t = t + _q_apply(ell, avg_F, V)
-        t = t + ell_spmm(ell.s_cols, avg_s, V)
-        t = t + ell_spmm(ell.st_cols, avg_st, V)
-        return t
+        def X_avg_apply(V):
+            Vp = padV(V)
+            t = avg_mdiag[:, None] * V
+            t = t + bcsr_spmm(q_bell, Vp)[:Kp]
+            t = t + bcsr_spmm(avg_bell, Vp)[:Kp]
+            t = t + bcsr_spmm_transpose(bcsr.s_blocks.bcols, wavg, Vp)[:Kp]
+            return t
+    else:
+        avg_s = c["avg_s"] / nit * ell.s_xw
+        avg_st = c["avg_st"] / nit * ell.st_xw
+
+        def X_avg_apply(V):
+            t = avg_mdiag[:, None] * V
+            t = t + _q_apply(ell, avg_F, V)
+            t = t + ell_spmm(ell.s_cols, avg_s, V)
+            t = t + ell_spmm(ell.st_cols, avg_st, V)
+            return t
 
     # Randomized subspace iteration on the implicit symmetric operator
     # (oversampled, like the dense rsvd path).

@@ -111,6 +111,118 @@ def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128
             bcsr_from_csr(StT, block=block, pad_rows_to=nr))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BcsrOperands:
+    """Everything the block-native MMW needs (see models/mmw_ell.py):
+
+    * ``s_blocks`` / ``st_blocks`` — S tilde and its transpose as BlockEll;
+    * ``sw_vals`` — symmetrization weights on the s_blocks layout (1 one-way,
+      0.5 bidirectional, 0 off-pattern) so undirected pattern edges count
+      once in X-operator applies;
+    * association-edge block layout: ``q_bcols`` plus flat scatter positions
+      ``q_pos``/source ids ``q_eidx`` mapping the [E_pad] upper-tri edge
+      value vector into a [Kb, maxblkQ, B, B] block array (both directions).
+    """
+
+    s_blocks: BlockEll
+    st_blocks: BlockEll
+    sw_vals: jax.Array   # [Kb, maxblk, B, B]
+    q_bcols: jax.Array   # [Kb, maxblkQ] int32
+    q_pos: jax.Array     # [2E] int32 flat positions into the q block array
+    q_eidx: jax.Array    # [2E] int32 indices into the ut edge value vector
+
+
+def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
+                             block: int = 128) -> BcsrOperands:
+    import scipy.sparse
+    from sig_sdp_mmw_tpu.core.ell import build_st_csr
+
+    St = build_st_csr(S_csr, Q_csr)
+    K = St.shape[0]
+    nr = ((K + block - 1) // block) * block
+    Kb = nr // block
+    StT = St.transpose().tocsr()
+    s_blocks = bcsr_from_csr(St, block=block, pad_rows_to=nr)
+    st_blocks = bcsr_from_csr(StT, block=block, pad_rows_to=nr)
+
+    P = St.copy()
+    P.data = np.ones_like(P.data)
+    B2 = P.multiply(P.transpose()).tocsr()
+    Wm = (P - 0.5 * B2).tocsr()
+    Wm.sort_indices()
+    sw = bcsr_from_csr(Wm, block=block, pad_rows_to=nr)
+    if not np.array_equal(np.asarray(sw.bcols), np.asarray(s_blocks.bcols)):
+        raise AssertionError("weight/value block layouts diverged")
+
+    # Association edges -> block scatter layout.
+    Qu = scipy.sparse.triu(Q_csr.tocsr(), k=1).tocoo()
+    E = Qu.nnz
+    ii = np.concatenate([Qu.row, Qu.col]).astype(np.int64)
+    jj = np.concatenate([Qu.col, Qu.row]).astype(np.int64)
+    ee = np.concatenate([np.arange(E), np.arange(E)]).astype(np.int64)
+
+    bi, bj = ii // block, jj // block
+    blk_id = bi * Kb + bj
+    uniq = np.unique(blk_id)
+    ubr, ubc = uniq // Kb, uniq % Kb
+    counts = np.bincount(ubr, minlength=Kb)
+    maxblkQ = max(int(counts.max(initial=0)), 1)
+    q_bcols = np.zeros((Kb, maxblkQ), np.int32)
+    starts = np.zeros(Kb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    order = np.argsort(ubr, kind="stable")
+    slots_of_uniq = np.empty(uniq.size, np.int64)
+    slots_of_uniq[order] = np.arange(uniq.size) - starts[ubr[order]]
+    q_bcols[ubr, slots_of_uniq] = ubc
+
+    slot_of_edge = slots_of_uniq[np.searchsorted(uniq, blk_id)]
+    q_pos = (((bi * maxblkQ + slot_of_edge) * block + ii % block) * block
+             + jj % block).astype(np.int32)
+
+    return BcsrOperands(
+        s_blocks=s_blocks, st_blocks=st_blocks, sw_vals=sw.blocks,
+        q_bcols=jnp.asarray(q_bcols), q_pos=jnp.asarray(q_pos),
+        q_eidx=jnp.asarray(ee.astype(np.int32)))
+
+
+def bcsr_block_gram(bcols: jax.Array, Xb: jax.Array,
+                    precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Pattern-restricted block Gram: for every (block-row k, slot s),
+    ``Xb[k] @ Xb[bcols[k, s]]^T`` -> [Kb, maxblk, B, B].  The all-MXU
+    replacement for per-edge gather dots."""
+    maxblk = bcols.shape[1]
+
+    def slot(s, acc):
+        G = lax.dot_general(Xb, Xb[bcols[:, s]],
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            precision=precision)
+        return acc.at[:, s].set(G)
+
+    Kb, B, _ = Xb.shape
+    return lax.fori_loop(0, maxblk, slot,
+                         jnp.zeros((Kb, maxblk, B, B), Xb.dtype))
+
+
+def bcsr_spmm_transpose(mat_bcols: jax.Array, blocks: jax.Array,
+                        V: jax.Array,
+                        precision=lax.Precision.HIGHEST) -> jax.Array:
+    """``A^T @ V`` where A is given in BlockEll form (bcols, blocks):
+    per-slot contributions scattered by target block via segment_sum."""
+    Kb, maxblk = mat_bcols.shape
+    B = blocks.shape[-1]
+    D = V.shape[1]
+    Vb = V.reshape(Kb, B, D)
+    # contrib[k, s] = blocks[k, s]^T @ Vb[k]  -> destined for block bcols[k,s]
+    contrib = lax.dot_general(blocks, Vb,
+                              dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                              precision=precision)      # [Kb, maxblk, B(col), D]
+    contrib = contrib.reshape(Kb * maxblk, B, D)
+    seg = jax.ops.segment_sum(contrib, mat_bcols.reshape(-1),
+                              num_segments=Kb)
+    return seg.reshape(Kb * B, D)
+
+
 def spatial_order(sta_locs: np.ndarray, cell_edge: float) -> np.ndarray:
     """Permutation sorting users by grid cell (row-major), making the
     interference graph banded for block-sparse storage."""

@@ -111,26 +111,52 @@ class ParallelProbeSearch(StatsObject):
 
         bs = BinarySearchRelaxation()
         lb, ub = bs.set_bounds(state)
-        candidates = np.arange(lb, ub + 1)
-        if self.max_probes is not None and candidates.size > self.max_probes:
-            # Coarse-to-fine: probe a subsample, then refine around the best.
-            candidates = np.unique(np.linspace(lb, ub, self.max_probes)
-                                   .round().astype(int))
         self._ncall += 1
         key = jax.random.fold_in(self._key, self._ncall)
 
         tic = self._get_tic()
-        z_vecs, rems, Zs = self._probe(state, candidates, key)
-        tim = self._get_tim(tic)
-        self._add_np_log("pp_search", 0,
-                         np.array([lb, ub, candidates.size, tim]))
+        lo, hi = lb, ub           # lo..hi = window still to resolve
+        best = None               # (z_vec, Z) of smallest feasible so far
+        rounds = 0
+        while True:
+            candidates = np.arange(lo, hi + 1)
+            if self.max_probes is not None and candidates.size > self.max_probes:
+                candidates = np.unique(
+                    np.linspace(lo, hi, self.max_probes).round().astype(int))
+            rounds += 1
+            z_vecs, rems, Zs = self._probe(
+                state, candidates, jax.random.fold_in(key, rounds))
 
-        feasible = np.where(rems == 0)[0]
-        if feasible.size:
-            i = int(feasible[np.argmin(Zs[feasible])])
-            return z_vecs[i][: state.K], int(Zs[i]), 0
-        # Nothing feasible in [lb, ub]: fall back to the reference's
-        # window-shifting behavior via the sequential search.
+            feas = np.where(rems == 0)[0]
+            if feas.size:
+                i = int(feas[np.argmin(Zs[feas])])
+                if best is None or Zs[i] < best[1]:
+                    best = (z_vecs[i][: state.K], int(Zs[i]))
+                # Refine between the largest infeasible candidate below the
+                # best and the best itself.
+                below = Zs[(rems != 0) & (Zs < best[1])]
+                lo = int(below.max()) + 1 if below.size else lo
+                hi = best[1] - 1
+                if lo > hi or best[1] == lb:
+                    break
+                # All candidates in (lo, hi) already probed? then done.
+                if np.all(np.isin(np.arange(lo, hi + 1), Zs)):
+                    break
+            else:
+                if best is not None:
+                    break
+                # Nothing feasible in the window: shift up, like the
+                # reference's both-bounds-infeasible case
+                # (binary_search_relaxation.py:65-67).
+                lo, hi = hi + 1, hi + max(hi - lo, 1)
+                if lo > state.K:
+                    break
+
+        tim = self._get_tim(tic)
+        self._add_np_log("pp_search", 0, np.array([lb, ub, rounds, tim]))
+        if best is not None:
+            return best[0], best[1], 0
+        # Give up on the parallel path; sequential fallback.
         from sig_sdp_mmw_tpu.models.mmw import MMW
 
         bs.feasibility_check_alg = MMW(nit=self.nit, eta=self.eta,

@@ -145,19 +145,23 @@ def test_bcsr_spmm_matches_ell(dense_state, ell_state):
 
 def test_sparse_mmw_bcsr_path_matches_ell_path(ell_state, dense_state, fix):
     from sig_sdp_mmw_tpu.core.problem import state_to_scipy
-    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_pair_from_state
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
 
     S, Q, h = state_to_scipy(dense_state)
-    s_b, st_b = bcsr_pair_from_state(S, Q, block=16)
+    ops = bcsr_operands_from_state(S, Q, block=16)
     Z = float(fix["Z_fin"])
     key = jax.random.PRNGKey(0)
     a = jax.jit(lambda e, k: mmw_solve_ell(e, Z, nit=20, eta=0.05, D_pad=32,
                                            rank_pad=32, key=k))(ell_state, key)
     b = jax.jit(lambda e, k: mmw_solve_ell(e, Z, nit=20, eta=0.05, D_pad=32,
-                                           rank_pad=32, key=k,
-                                           s_blocks=s_b, st_blocks=st_b)
+                                           rank_pad=32, key=k, bcsr=ops)
                 )(ell_state, key)
+    # Identical math on different layouts: trajectories must agree tightly.
     assert float(b.ub_final) == pytest.approx(float(a.ub_final), abs=1e-4)
+    # Final factors use the same rsvd keys and the same averaged operator.
+    Ga = np.asarray(a.X_half) @ np.asarray(a.X_half).T
+    Gb = np.asarray(b.X_half) @ np.asarray(b.X_half).T
+    np.testing.assert_allclose(Gb, Ga, atol=2e-3 * max(np.abs(Ga).max(), 1e-9))
 
 
 def test_sparse_mmw_rounding_feasible(dense_state, ell_state, fix):

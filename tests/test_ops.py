@@ -123,3 +123,16 @@ def test_randomized_lowrank_matches_svds():
     P_want = U @ U.T
     P_got = np.asarray(Ug) @ np.asarray(Ug).T
     np.testing.assert_allclose(P_got, P_want, atol=1e-7)
+
+
+def test_regular_simplex():
+    from sig_sdp_mmw_tpu.ops.simplex import (
+        generate_rand_regular_simplex_with_Z_vertices)
+
+    Z, D = 6, 12
+    V = generate_rand_regular_simplex_with_Z_vertices(
+        Z, D, key=jax.random.PRNGKey(1), dtype=jnp.float64)
+    G = np.asarray(V) @ np.asarray(V).T
+    np.testing.assert_allclose(np.diag(G), 1.0, atol=1e-9)
+    off = G[~np.eye(Z, dtype=bool)]
+    np.testing.assert_allclose(off, -1.0 / (Z - 1), atol=1e-9)

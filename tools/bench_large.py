@@ -35,13 +35,14 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8):
     print(f"ELL build {time.time()-t0:.1f}s degS={ell.s_cols.shape[1]} "
           f"E_pad={ell.E_pad} Kp={ell.Kp}")
 
-    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_pair_from_state
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
 
     t0 = time.time()
-    s_blocks, st_blocks = bcsr_pair_from_state(S, Q)
-    print(f"BCSR build {time.time()-t0:.1f}s Kb={s_blocks.Kb} "
-          f"maxblk={s_blocks.bcols.shape[1]} "
-          f"blocks={s_blocks.blocks.size*4/1e6:.0f}MB")
+    bops = bcsr_operands_from_state(S, Q)
+    print(f"BCSR build {time.time()-t0:.1f}s Kb={bops.s_blocks.Kb} "
+          f"maxblk={bops.s_blocks.bcols.shape[1]} "
+          f"maxblkQ={bops.q_bcols.shape[1]} "
+          f"blocks={bops.s_blocks.blocks.size*4/1e6:.0f}MB")
 
     # Z scale: max association degree + margin.
     lb = int(np.diff(Q.indptr).max()) + 1
@@ -50,8 +51,7 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8):
     print(f"lb={lb} Z={Z} D_pad={D_pad}")
 
     key = jax.random.PRNGKey(0)
-    for name, kw in [("ell", {}),
-                     ("bcsr", dict(s_blocks=s_blocks, st_blocks=st_blocks))]:
+    for name, kw in [("ell", {}), ("bcsr", dict(bcsr=bops))]:
         fn = jax.jit(lambda e, k, kw=kw: mmw_solve_ell(
             e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
             lanczos_m=lanczos_m, reorth=True, **kw))
