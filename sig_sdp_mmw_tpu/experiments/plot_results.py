@@ -37,11 +37,16 @@ def _read_metric_files(data_dir: str) -> Dict[str, List[List[float]]]:
         p = os.path.join(data_dir, name)
         if not os.path.isfile(p):
             continue
+        if name.endswith((".jsonl", ".pdf", ".png", ".txt")):
+            continue
         rows = []
-        with open(p) as f:
-            for row in csv.reader(f):
-                if row:
-                    rows.append([float(x) for x in row])
+        try:
+            with open(p) as f:
+                for row in csv.reader(f):
+                    if row:
+                        rows.append([float(x) for x in row])
+        except ValueError:
+            continue  # not a metric CSV (ledger, figure, etc.)
         out[name] = rows
     return out
 

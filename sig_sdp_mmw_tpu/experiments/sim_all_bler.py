@@ -21,11 +21,16 @@ def main(argv=None):
         MAX_ASSO, MAX_GAIN, MMW, BinarySearchRelaxation, LRPSolver,
         RandSDPSolver)
 
+    from sig_sdp_mmw_tpu.utils.checkpoint import SweepCheckpoint
+
     RHO = args.rho
     tag = str(int(RHO * 10000))
+    ck = SweepCheckpoint(path)
 
     for cell in args.cells:
         for seed in range(args.repeat):
+            if ck.done(f"cell{cell}", seed):
+                continue
             e = WirelessEnv(cell_size=cell, sta_density_per_1m2=RHO, seed=seed)
             st = e.generate_S_Q_hmax()
 
@@ -60,6 +65,8 @@ def main(argv=None):
             bler = e.evaluate_bler(z_vec, Z_fin)
             log.log_mul_scalar(f"masso-{cell}-{tag}", seed,
                                [Z_fin] + bler.tolist())
+            ck.mark(f"cell{cell}", seed)
+    ck.close()
     log.close()
     return path
 

@@ -41,11 +41,9 @@ class BlockEll:
         return self.bcols.shape[0]
 
 
-def bcsr_from_csr(M, block: int = 128, pad_rows_to: int = None,
-                  dtype=np.float32) -> BlockEll:
-    """Convert a scipy CSR matrix to BlockEll (host-side, vectorized)."""
-    import scipy.sparse
-
+def _bcsr_arrays_np(M, block: int = 128, pad_rows_to: int = None,
+                    dtype=np.float32):
+    """Host-side BlockEll arrays (numpy) from a scipy CSR matrix."""
     M = M.tocsr()
     K = M.shape[0]
     Kp = pad_rows_to or ((K + block - 1) // block) * block
@@ -73,7 +71,13 @@ def bcsr_from_csr(M, block: int = 128, pad_rows_to: int = None,
     blocks = np.zeros((Kb, maxblk, block, block), dtype)
     slot_of_entry = slot_of_uniq[inv]
     blocks[br, slot_of_entry, coo.row % block, coo.col % block] = coo.data
+    return bcols, blocks, Kp
 
+
+def bcsr_from_csr(M, block: int = 128, pad_rows_to: int = None,
+                  dtype=np.float32) -> BlockEll:
+    """Convert a scipy CSR matrix to BlockEll."""
+    bcols, blocks, Kp = _bcsr_arrays_np(M, block, pad_rows_to, dtype)
     return BlockEll(bcols=jnp.asarray(bcols), blocks=jnp.asarray(blocks),
                     nrows=Kp)
 
@@ -143,17 +147,25 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     nr = ((K + block - 1) // block) * block
     Kb = nr // block
     StT = St.transpose().tocsr()
-    s_blocks = bcsr_from_csr(St, block=block, pad_rows_to=nr)
-    st_blocks = bcsr_from_csr(StT, block=block, pad_rows_to=nr)
+    s_bcols, s_vals_np, _ = _bcsr_arrays_np(St, block, pad_rows_to=nr)
+    st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, block, pad_rows_to=nr)
 
     P = St.copy()
     P.data = np.ones_like(P.data)
     B2 = P.multiply(P.transpose()).tocsr()
     Wm = (P - 0.5 * B2).tocsr()
     Wm.sort_indices()
-    sw = bcsr_from_csr(Wm, block=block, pad_rows_to=nr)
-    if not np.array_equal(np.asarray(sw.bcols), np.asarray(s_blocks.bcols)):
+    sw_bcols, sw_vals_np, _ = _bcsr_arrays_np(Wm, block, pad_rows_to=nr)
+    # Host-side consistency check BEFORE any device transfer (device->host
+    # readback of raw transfers can hang on tunneled platforms).
+    if not np.array_equal(sw_bcols, s_bcols):
         raise AssertionError("weight/value block layouts diverged")
+    s_blocks = BlockEll(bcols=jnp.asarray(s_bcols),
+                        blocks=jnp.asarray(s_vals_np), nrows=nr)
+    st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
+                         blocks=jnp.asarray(st_vals_np), nrows=nr)
+    sw = BlockEll(bcols=jnp.asarray(sw_bcols), blocks=jnp.asarray(sw_vals_np),
+                  nrows=nr)
 
     # Association edges -> block scatter layout.
     Qu = scipy.sparse.triu(Q_csr.tocsr(), k=1).tocoo()

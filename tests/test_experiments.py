@@ -66,3 +66,16 @@ def test_sim_convergence(smoke_dir):
 
     _run(sim_convergence, smoke_dir, "conv", extra=["--repeat", "1",
                                                     "--cells", "5"])
+
+
+def test_sim_all_bler_resumes(smoke_dir):
+    """Re-running the sweep with the same --out skips completed items."""
+    import time
+
+    from sig_sdp_mmw_tpu.experiments import sim_all_bler
+
+    out = str(smoke_dir / "bler_resume")
+    sim_all_bler.main(["--smoke", "--platform", "cpu", "--out", out])
+    t0 = time.time()
+    sim_all_bler.main(["--smoke", "--platform", "cpu", "--out", out])
+    assert time.time() - t0 < 5.0   # everything skipped via the checkpoint

@@ -17,7 +17,7 @@ import numpy as np
 print = functools.partial(print, flush=True)
 
 
-def main(cell=183, rho=75e-4, nit=20, lanczos_m=8):
+def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell"):
     import jax
 
     from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
@@ -51,21 +51,39 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8):
     print(f"lb={lb} Z={Z} D_pad={D_pad}")
 
     key = jax.random.PRNGKey(0)
-    for name, kw in [("ell", {}), ("bcsr", dict(bcsr=bops))]:
+    t0 = time.time()
+    ell = jax.device_put(ell)
+    jax.block_until_ready(ell.s_vals)
+    bops = jax.device_put(bops)
+    jax.block_until_ready(bops.s_blocks.blocks)
+    print(f"device transfer {time.time()-t0:.1f}s")
+
+    # bcsr first: the gather-heavy ell program intermittently wedges the
+    # tunneled TPU runtime at large K (infra flakiness, not the math — the
+    # same executable sometimes runs fine; see .claude/skills/verify).
+    all_paths = {"bcsr": dict(bcsr=bops), "ell": {}}
+    for name in paths.split(","):
+        kw = all_paths[name]
         fn = jax.jit(lambda e, k, kw=kw: mmw_solve_ell(
             e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
             lanczos_m=lanczos_m, reorth=True, **kw))
         t0 = time.time()
-        out = fn(ell, key)
+        lowered = fn.lower(ell, key)
+        print(f"[{name}] lower {time.time()-t0:.1f}s")
+        t0 = time.time()
+        compiled = lowered.compile()
+        print(f"[{name}] compile {time.time()-t0:.1f}s")
+        t0 = time.time()
+        out = compiled(ell, key)
         jax.block_until_ready(out.X_half)
-        print(f"[{name}] compile+first {time.time()-t0:.1f}s "
+        print(f"[{name}] first run {time.time()-t0:.1f}s "
               f"ub={float(out.ub_final):.4f}")
 
         times = []
         for i in range(3):
             k = jax.random.fold_in(key, i)
             t0 = time.perf_counter()
-            out = fn(ell, k)
+            out = compiled(ell, k)
             jax.block_until_ready(out.X_half)
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
@@ -85,5 +103,6 @@ if __name__ == "__main__":
     ap.add_argument("--rho", type=float, default=75e-4)
     ap.add_argument("--nit", type=int, default=20)
     ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--paths", type=str, default="bcsr,ell")
     a = ap.parse_args()
-    main(a.cell, a.rho, a.nit, a.m)
+    main(a.cell, a.rho, a.nit, a.m, a.paths)
