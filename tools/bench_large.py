@@ -61,20 +61,27 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell"):
     # bcsr first: the gather-heavy ell program intermittently wedges the
     # tunneled TPU runtime at large K (infra flakiness, not the math — the
     # same executable sometimes runs fine; see .claude/skills/verify).
-    all_paths = {"bcsr": dict(bcsr=bops), "ell": {}}
     for name in paths.split(","):
-        kw = all_paths[name]
-        fn = jax.jit(lambda e, k, kw=kw: mmw_solve_ell(
-            e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
-            lanczos_m=lanczos_m, reorth=True, **kw))
+        # bcsr must be a jit ARGUMENT, not a closure capture — captured
+        # operands become giant jaxpr constants (GBs embedded in the program).
+        if name == "bcsr":
+            fn = jax.jit(lambda e, k, b: mmw_solve_ell(
+                e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
+                lanczos_m=lanczos_m, reorth=True, bcsr=b))
+            fargs = (ell, key, bops)
+        else:
+            fn = jax.jit(lambda e, k: mmw_solve_ell(
+                e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
+                lanczos_m=lanczos_m, reorth=True))
+            fargs = (ell, key)
         t0 = time.time()
-        lowered = fn.lower(ell, key)
+        lowered = fn.lower(*fargs)
         print(f"[{name}] lower {time.time()-t0:.1f}s")
         t0 = time.time()
         compiled = lowered.compile()
         print(f"[{name}] compile {time.time()-t0:.1f}s")
         t0 = time.time()
-        out = compiled(ell, key)
+        out = compiled(*fargs)
         jax.block_until_ready(out.X_half)
         print(f"[{name}] first run {time.time()-t0:.1f}s "
               f"ub={float(out.ub_final):.4f}")
@@ -83,7 +90,7 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell"):
         for i in range(3):
             k = jax.random.fold_in(key, i)
             t0 = time.perf_counter()
-            out = compiled(ell, k)
+            out = compiled(*((fargs[0], k) + fargs[2:]))
             jax.block_until_ready(out.X_half)
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
