@@ -34,11 +34,18 @@ def interference_cutoff_m(p: EnvParams) -> float:
 
 def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
                              seed: int = 0, params: Optional[EnvParams] = None,
-                             return_locs: bool = False):
+                             return_locs: bool = False, backend: str = "auto"):
     """(S_csr, Q_csr, h_max[, sta_locs]) for a cell_size^2-AP grid at any
     scale.  Users are relabeled in spatial (grid-cell) order so the
     interference graph is banded — block-sparse friendly
     (:mod:`sig_sdp_mmw_tpu.ops.bcsr`); a pure relabeling, solution-invariant.
+
+    ``backend``: ``"native"`` = the multithreaded C++ builder
+    (csrc/sig_native.cpp), ``"python"`` = this module's scipy path,
+    ``"auto"`` = native when buildable AND the instance is large enough to
+    benefit (the vectorized scipy path wins below ~30k links; the threaded
+    native builder wins ~2x above), else python.  Both produce the same
+    state (tests/test_native.py pins pattern-exact agreement).
     """
     import scipy.sparse
     from scipy.spatial import cKDTree
@@ -60,6 +67,17 @@ def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
     stas = stas[spatial_order(stas, p.cell_edge)]
 
     cutoff = interference_cutoff_m(p)
+
+    _NATIVE_MIN_K = 30_000  # measured crossover vs the scipy path
+    if backend == "native" or (backend == "auto" and K >= _NATIVE_MIN_K):
+        from sig_sdp_mmw_tpu import native
+        if native.native_available():
+            S, Q, h_max, _asso = native.build_state_csr_native(stas, p, cutoff)
+            if return_locs:
+                return S, Q, h_max, stas
+            return S, Q, h_max
+        if backend == "native":
+            raise RuntimeError("native builder requested but unavailable")
     tree = cKDTree(aps)
     pairs = tree.query_ball_point(stas, r=cutoff)
 
