@@ -81,7 +81,8 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
     Zf = jnp.asarray(Z, dtype)
     use_bcsr = bcsr is not None
     if use_bcsr:
-        from sig_sdp_mmw_tpu.ops.bcsr import (BlockEll, bcsr_block_gram,
+        from sig_sdp_mmw_tpu.ops.bcsr import (BlockEll,
+                                              bcsr_block_gram_accum,
                                               bcsr_spmm, bcsr_spmm_transpose)
 
         nrows = bcsr.s_blocks.nrows
@@ -133,8 +134,15 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         def s_matvec(V):
             return bcsr_spmm(bcsr.s_blocks, padV(V))[:Kp]
 
-        def st_matvec(V):
-            return bcsr_spmm(bcsr.st_blocks, padV(V))[:Kp]
+        if bcsr.st_blocks is not None:
+            def st_matvec(V):
+                return bcsr_spmm(bcsr.st_blocks, padV(V))[:Kp]
+        else:
+            # Memory-lean mode: S̃ᵀ is not stored; scatter through S̃.
+            def st_matvec(V):
+                return bcsr_spmm_transpose(bcsr.s_blocks.bcols,
+                                           bcsr.s_blocks.blocks,
+                                           padV(V))[:Kp]
     else:
         def s_matvec(V):
             return ell_spmm(ell.s_cols, ell.s_vals, V)
@@ -243,13 +251,14 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                    hrow=hrow, X_mdiag=X_mdiag, xF=xF, xH=xH,
                    avg_mdiag=avg_mdiag, avg_F=avg_F, avg_H=avg_H, ub=ub)
         if use_bcsr:
-            # Pattern-restricted Gram as block matmuls; the average over
-            # t=0..nit-1 excludes the final X (mmw.py:77 accumulates
-            # pre-update), hence the i<nit-1 gate.
+            # Pattern-restricted Gram as block matmuls accumulated IN PLACE
+            # (no second full-size Gram buffer); the average over t=0..nit-1
+            # excludes the final X (mmw.py:77 accumulates pre-update), hence
+            # the i<nit-1 gate.
             Xb = padV(X_half).reshape(Kb, Bsz, D_pad)
-            Gb = bcsr_block_gram(bcsr.s_blocks.bcols, Xb) * inv_tr
             gate = jnp.where(i < nit - 1, 1.0, 0.0).astype(dtype)
-            out["avg_bG"] = c["avg_bG"] + gate * Gb
+            out["avg_bG"] = bcsr_block_gram_accum(
+                bcsr.s_blocks.bcols, Xb, c["avg_bG"], gate * inv_tr)
         else:
             out["s_edge"] = jnp.where(
                 ell.s_vals != 0, _edge_dots(ell, ell.s_cols, X_half, inv_tr),
@@ -275,7 +284,7 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                     jnp.max(jnp.where(ell.mask, eH, neg)))))
 
     if use_bcsr:
-        wavg = (c["avg_bG"] / nit) * bcsr.sw_vals
+        wavg = (c["avg_bG"] / nit) * bcsr.sw_vals.astype(dtype)
         q_avg = q_block_vals(avg_F)
         avg_bell = BlockEll(bcols=bcsr.s_blocks.bcols, blocks=wavg,
                             nrows=nrows)

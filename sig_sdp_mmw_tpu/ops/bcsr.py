@@ -17,7 +17,7 @@ profitable whenever block fill is above ~1% (MXU speed / gather speed).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,11 +84,16 @@ def bcsr_from_csr(M, block: int = 128, pad_rows_to: int = None,
 
 def bcsr_spmm(mat: BlockEll, V: jax.Array,
               precision=lax.Precision.HIGHEST) -> jax.Array:
-    """BlockEll [Kp, Kp] x [Kp, D] -> [Kp, D]; all-MXU."""
+    """BlockEll [Kp, Kp] x [Kp, D] -> [Kp, D]; all-MXU.
+
+    Blocks may be stored in a narrower dtype (bfloat16) than V; the MXU
+    multiplies in the block dtype and accumulates in V.dtype (float32) via
+    ``preferred_element_type`` — the memory-lean large-graph mode."""
     B = mat.B
     Kb = mat.Kb
     D = V.shape[1]
-    Vb = V.reshape(Kb, B, D)
+    acc_dtype = V.dtype
+    Vb = V.astype(mat.blocks.dtype).reshape(Kb, B, D)
     maxblk = mat.bcols.shape[1]
 
     def slot(s, acc):
@@ -96,9 +101,9 @@ def bcsr_spmm(mat: BlockEll, V: jax.Array,
         return acc + lax.dot_general(
             mat.blocks[:, s], rhs,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=precision)
+            precision=precision, preferred_element_type=acc_dtype)
 
-    out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kb, B, D), V.dtype))
+    out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kb, B, D), acc_dtype))
     return out.reshape(Kb * B, D)
 
 
@@ -120,7 +125,9 @@ def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128
 class BcsrOperands:
     """Everything the block-native MMW needs (see models/mmw_ell.py):
 
-    * ``s_blocks`` / ``st_blocks`` — S tilde and its transpose as BlockEll;
+    * ``s_blocks`` / ``st_blocks`` — S tilde and its transpose as BlockEll.
+      ``st_blocks`` may be ``None`` (memory-lean mode): the transpose matvec
+      then runs through :func:`bcsr_spmm_transpose` on ``s_blocks``;
     * ``sw_vals`` — symmetrization weights on the s_blocks layout (1 one-way,
       0.5 bidirectional, 0 off-pattern) so undirected pattern edges count
       once in X-operator applies;
@@ -130,7 +137,7 @@ class BcsrOperands:
     """
 
     s_blocks: BlockEll
-    st_blocks: BlockEll
+    st_blocks: Optional[BlockEll]
     sw_vals: jax.Array   # [Kb, maxblk, B, B]
     q_bcols: jax.Array   # [Kb, maxblkQ] int32
     q_pos: jax.Array     # [2E] int32 flat positions into the q block array
@@ -138,33 +145,56 @@ class BcsrOperands:
 
 
 def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
-                             block: int = 128) -> BcsrOperands:
+                             block: int = 128, dtype=np.float32,
+                             weights_dtype=None,
+                             store_transpose: bool = True) -> BcsrOperands:
+    """``dtype``: storage dtype of the value blocks — ``np.float32`` exact,
+    or ``jnp.bfloat16`` for half the footprint (the SpMM still accumulates
+    in f32 on the MXU; ~0.4% per-entry value noise, well inside MMW's
+    first-order convergence tolerance — validated in tests/test_ops.py).
+    ``store_transpose=False`` drops the S̃ᵀ copy (another third of the
+    footprint) in exchange for a segment-sum scatter per transpose matvec.
+    """
     import scipy.sparse
     from sig_sdp_mmw_tpu.core.ell import build_st_csr
 
+    weights_dtype = weights_dtype or dtype
     St = build_st_csr(S_csr, Q_csr)
     K = St.shape[0]
     nr = ((K + block - 1) // block) * block
     Kb = nr // block
-    StT = St.transpose().tocsr()
-    s_bcols, s_vals_np, _ = _bcsr_arrays_np(St, block, pad_rows_to=nr)
-    st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, block, pad_rows_to=nr)
+    s_bcols, s_vals_np, _ = _bcsr_arrays_np(St, block, pad_rows_to=nr,
+                                            dtype=np.float32)
 
     P = St.copy()
     P.data = np.ones_like(P.data)
     B2 = P.multiply(P.transpose()).tocsr()
     Wm = (P - 0.5 * B2).tocsr()
     Wm.sort_indices()
-    sw_bcols, sw_vals_np, _ = _bcsr_arrays_np(Wm, block, pad_rows_to=nr)
+    sw_bcols, sw_vals_np, _ = _bcsr_arrays_np(Wm, block, pad_rows_to=nr,
+                                              dtype=np.float32)
     # Host-side consistency check BEFORE any device transfer (device->host
     # readback of raw transfers can hang on tunneled platforms).
     if not np.array_equal(sw_bcols, s_bcols):
         raise AssertionError("weight/value block layouts diverged")
+    def _host_cast(arr, dt):
+        # Cast on the HOST so the device never sees the f32 copy (a 4GB+
+        # transient at million-link scale); ml_dtypes gives numpy a native
+        # bfloat16 that transfers directly.
+        return jnp.asarray(arr.astype(np.dtype(dt)))
+
     s_blocks = BlockEll(bcols=jnp.asarray(s_bcols),
-                        blocks=jnp.asarray(s_vals_np), nrows=nr)
-    st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
-                         blocks=jnp.asarray(st_vals_np), nrows=nr)
-    sw = BlockEll(bcols=jnp.asarray(sw_bcols), blocks=jnp.asarray(sw_vals_np),
+                        blocks=_host_cast(s_vals_np, dtype), nrows=nr)
+    st_blocks = None
+    if store_transpose:
+        StT = St.transpose().tocsr()
+        st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, block, pad_rows_to=nr,
+                                                  dtype=np.float32)
+        st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
+                             blocks=_host_cast(st_vals_np, dtype),
+                             nrows=nr)
+    sw = BlockEll(bcols=jnp.asarray(sw_bcols),
+                  blocks=_host_cast(sw_vals_np, weights_dtype),
                   nrows=nr)
 
     # Association edges -> block scatter layout.
@@ -216,6 +246,24 @@ def bcsr_block_gram(bcols: jax.Array, Xb: jax.Array,
                          jnp.zeros((Kb, maxblk, B, B), Xb.dtype))
 
 
+def bcsr_block_gram_accum(bcols: jax.Array, Xb: jax.Array, acc: jax.Array,
+                          scale, precision=lax.Precision.HIGHEST) -> jax.Array:
+    """``acc[k, s] += scale * Xb[k] @ Xb[bcols[k, s]]^T`` slot-by-slot,
+    updating the accumulator in place — avoids materializing a second
+    full-size [Kb, maxblk, B, B] Gram array (the memory-lean averaging path
+    for million-link graphs)."""
+    maxblk = bcols.shape[1]
+
+    def slot(s, a):
+        G = lax.dot_general(Xb, Xb[bcols[:, s]],
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            precision=precision,
+                            preferred_element_type=a.dtype)
+        return a.at[:, s].add(scale * G)
+
+    return lax.fori_loop(0, maxblk, slot, acc)
+
+
 def bcsr_spmm_transpose(mat_bcols: jax.Array, blocks: jax.Array,
                         V: jax.Array,
                         precision=lax.Precision.HIGHEST) -> jax.Array:
@@ -224,14 +272,22 @@ def bcsr_spmm_transpose(mat_bcols: jax.Array, blocks: jax.Array,
     Kb, maxblk = mat_bcols.shape
     B = blocks.shape[-1]
     D = V.shape[1]
-    Vb = V.reshape(Kb, B, D)
-    # contrib[k, s] = blocks[k, s]^T @ Vb[k]  -> destined for block bcols[k,s]
-    contrib = lax.dot_general(blocks, Vb,
-                              dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                              precision=precision)      # [Kb, maxblk, B(col), D]
-    contrib = contrib.reshape(Kb * maxblk, B, D)
-    seg = jax.ops.segment_sum(contrib, mat_bcols.reshape(-1),
-                              num_segments=Kb)
+    acc_dtype = V.dtype
+    Vb = V.astype(blocks.dtype).reshape(Kb, B, D)
+
+    # Slot-by-slot scatter-add: contrib_s[k] = blocks[k, s]^T @ Vb[k] lands
+    # in output block bcols[k, s].  One [Kb, B, D] buffer per step instead of
+    # the full [Kb*maxblk, B, D] segment-sum operand (3GB+ at million-link
+    # scale — the difference between fitting in HBM and OOM).
+    def slot(s, acc):
+        contrib = lax.dot_general(
+            blocks[:, s], Vb,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=precision,
+            preferred_element_type=acc_dtype)            # [Kb, B(col), D]
+        return acc.at[mat_bcols[:, s]].add(contrib)
+
+    seg = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kb, B, D), acc_dtype))
     return seg.reshape(Kb * B, D)
 
 

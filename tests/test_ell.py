@@ -164,6 +164,35 @@ def test_sparse_mmw_bcsr_path_matches_ell_path(ell_state, dense_state, fix):
     np.testing.assert_allclose(Gb, Ga, atol=2e-3 * max(np.abs(Ga).max(), 1e-9))
 
 
+def test_sparse_mmw_bcsr_memory_lean_modes(ell_state, dense_state, fix):
+    """The million-link storage modes — narrower block size, bfloat16 block
+    values (f32 MXU accumulation), and no stored transpose (segment-sum
+    scatter matvec) — must reproduce the reference-layout trajectory."""
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S, Q, h = state_to_scipy(dense_state)
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    ref = jax.jit(lambda e, k: mmw_solve_ell(e, Z, nit=20, eta=0.05, D_pad=32,
+                                             rank_pad=32, key=k))(ell_state,
+                                                                  key)
+    Gr = np.asarray(ref.X_half) @ np.asarray(ref.X_half).T
+    for kw, tol in [
+        (dict(block=16, store_transpose=False), 1e-4),
+        (dict(block=8, dtype=jnp.bfloat16, store_transpose=False,
+              weights_dtype=jnp.bfloat16), 2e-2),
+    ]:
+        ops = bcsr_operands_from_state(S, Q, **kw)
+        out = jax.jit(lambda e, k, b: mmw_solve_ell(
+            e, Z, nit=20, eta=0.05, D_pad=32, rank_pad=32, key=k, bcsr=b)
+        )(ell_state, key, ops)
+        assert float(out.ub_final) == pytest.approx(float(ref.ub_final),
+                                                    abs=tol)
+        G = np.asarray(out.X_half) @ np.asarray(out.X_half).T
+        assert np.abs(G - Gr).max() < max(tol, 5e-3) * max(np.abs(Gr).max(), 1e-9)
+
+
 def test_sparse_mmw_rounding_feasible(dense_state, ell_state, fix):
     Z = int(fix["Z_fin"])
     out = jax.jit(lambda s, k: mmw_solve_ell(s, float(Z), nit=150, eta=0.05,

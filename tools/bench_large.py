@@ -17,7 +17,8 @@ import numpy as np
 print = functools.partial(print, flush=True)
 
 
-def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell"):
+def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell",
+         block=128, bf16=False, no_transpose=False, skip_ellbuild=False):
     import jax
 
     from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
@@ -37,12 +38,19 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell"):
 
     from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
 
+    import jax.numpy as jnp
+
     t0 = time.time()
-    bops = bcsr_operands_from_state(S, Q)
+    bops = bcsr_operands_from_state(
+        S, Q, block=block,
+        dtype=jnp.bfloat16 if bf16 else np.float32,
+        store_transpose=not no_transpose)
+    bpb = bops.s_blocks.blocks.dtype.itemsize
+    nmat = 2 + (0 if no_transpose else 1)
     print(f"BCSR build {time.time()-t0:.1f}s Kb={bops.s_blocks.Kb} "
           f"maxblk={bops.s_blocks.bcols.shape[1]} "
           f"maxblkQ={bops.q_bcols.shape[1]} "
-          f"blocks={bops.s_blocks.blocks.size*4/1e6:.0f}MB")
+          f"blocks={bops.s_blocks.blocks.size*bpb/1e6:.0f}MB x{nmat}")
 
     # Z scale: max association degree + margin.
     lb = int(np.diff(Q.indptr).max()) + 1
@@ -52,8 +60,13 @@ def main(cell=183, rho=75e-4, nit=20, lanczos_m=8, paths="bcsr,ell"):
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    ell = jax.device_put(ell)
-    jax.block_until_ready(ell.s_vals)
+    if "ell" in paths:
+        # The gather path uses every EllState array; pre-transfer them all.
+        # In bcsr-only mode leave ell on host: jit (keep_unused=False) prunes
+        # the unused gather arrays, so only the arrays the block-native
+        # program actually reads ever reach HBM.
+        ell = jax.device_put(ell)
+        jax.block_until_ready(ell.s_vals)
     bops = jax.device_put(bops)
     jax.block_until_ready(bops.s_blocks.blocks)
     print(f"device transfer {time.time()-t0:.1f}s")
@@ -111,5 +124,8 @@ if __name__ == "__main__":
     ap.add_argument("--nit", type=int, default=20)
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--paths", type=str, default="bcsr,ell")
+    ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--no-transpose", action="store_true")
     a = ap.parse_args()
-    main(a.cell, a.rho, a.nit, a.m, a.paths)
+    main(a.cell, a.rho, a.nit, a.m, a.paths, a.block, a.bf16, a.no_transpose)
