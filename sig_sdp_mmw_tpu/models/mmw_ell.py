@@ -82,22 +82,26 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
     use_bcsr = bcsr is not None
     if use_bcsr:
         from sig_sdp_mmw_tpu.ops.bcsr import (BlockEll,
-                                              bcsr_block_gram_accum,
+                                              bcsr_edge_gram_accum,
                                               bcsr_spmm, bcsr_spmm_transpose)
 
         nrows = bcsr.s_blocks.nrows
         padn = nrows - Kp
-        Bsz = bcsr.s_blocks.B
-        Kb = bcsr.s_blocks.Kb
+        Brow = bcsr.s_blocks.Brow
+        Bcol = bcsr.s_blocks.B
+        Kbr = bcsr.s_blocks.Kb
+        Kbc = nrows // Bcol
+        maxblk = bcsr.s_blocks.bcols.shape[1]
         maxblkQ = bcsr.q_bcols.shape[1]
+        nnz_s = bcsr.nnz
 
         def padV(V):
             return jnp.pad(V, ((0, padn), (0, 0))) if padn else V
 
         def q_block_vals(edge_vals):
-            flat = jnp.zeros((Kb * maxblkQ * Bsz * Bsz,), dtype)
+            flat = jnp.zeros((Kbr * maxblkQ * Brow * Bcol,), dtype)
             flat = flat.at[bcsr.q_pos].set(edge_vals[bcsr.q_eidx])
-            return flat.reshape(Kb, maxblkQ, Bsz, Bsz)
+            return flat.reshape(Kbr, maxblkQ, Brow, Bcol)
 
     if lanczos_m is None:
         lanczos_m = mmw_default_lanczos_m(eta, nit)

@@ -17,6 +17,7 @@ profitable whenever block fill is above ~1% (MXU speed / gather speed).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -25,52 +26,78 @@ import numpy as np
 from jax import lax
 
 
+def _block_pair(block) -> Tuple[int, int]:
+    """Normalize a block spec to (Brow, Bcol).  TPU arrays are tiled
+    (8 sublanes x 128 lanes) on the trailing two dims, so Bcol should be a
+    multiple of 128 (and Brow of 8) or the runtime pads every block —
+    a 64x64 block silently *doubles* HBM use and traffic."""
+    if isinstance(block, (tuple, list)):
+        return int(block[0]), int(block[1])
+    return int(block), int(block)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockEll:
-    bcols: jax.Array    # [Kb, maxblk] int32 — column-block indices
-    blocks: jax.Array   # [Kb, maxblk, B, B] — dense block values
+    bcols: jax.Array    # [Kbr, maxblk] int32 — column-block indices
+    blocks: jax.Array   # [Kbr, maxblk, Brow, Bcol] — dense block values
     nrows: int = dataclasses.field(metadata=dict(static=True))
 
     @property
-    def B(self) -> int:
+    def B(self) -> int:           # Bcol (column width of a block)
         return self.blocks.shape[-1]
+
+    @property
+    def Brow(self) -> int:
+        return self.blocks.shape[-2]
 
     @property
     def Kb(self) -> int:
         return self.bcols.shape[0]
 
 
-def _bcsr_arrays_np(M, block: int = 128, pad_rows_to: int = None,
-                    dtype=np.float32):
-    """Host-side BlockEll arrays (numpy) from a scipy CSR matrix."""
+def _bcsr_arrays_np(M, block=128, pad_rows_to: int = None,
+                    dtype=np.float32, return_entry_maps: bool = False):
+    """Host-side BlockEll arrays (numpy) from a scipy CSR matrix.
+
+    ``block`` may be an int (square) or a (Brow, Bcol) tuple.  With
+    ``return_entry_maps`` also returns, per nonzero (in the matrix's COO
+    order), its (block-row, slot, local-row, local-col) — the basis for the
+    edge-level Gram accumulation maps."""
+    Br, Bc = _block_pair(block)
     M = M.tocsr()
     K = M.shape[0]
-    Kp = pad_rows_to or ((K + block - 1) // block) * block
-    Kb = Kp // block
+    lcm = Br * Bc // math.gcd(Br, Bc)
+    Kp = pad_rows_to or ((K + lcm - 1) // lcm) * lcm
+    Kbr = Kp // Br
+    Kbc = Kp // Bc
 
     coo = M.tocoo()
-    br = coo.row // block
-    bc = coo.col // block
-    blk_id = br * Kb + bc
+    br = coo.row.astype(np.int64) // Br
+    bc = coo.col.astype(np.int64) // Bc
+    blk_id = br * Kbc + bc
     uniq, inv = np.unique(blk_id, return_inverse=True)
-    ubr, ubc = uniq // Kb, uniq % Kb
+    ubr, ubc = uniq // Kbc, uniq % Kbc
 
-    counts = np.bincount(ubr, minlength=Kb)
+    counts = np.bincount(ubr, minlength=Kbr)
     maxblk = max(int(counts.max(initial=0)), 1)
 
-    bcols = np.zeros((Kb, maxblk), np.int32)
+    bcols = np.zeros((Kbr, maxblk), np.int32)
     slot_of_uniq = np.zeros(uniq.size, np.int64)
-    starts = np.zeros(Kb + 1, np.int64)
+    starts = np.zeros(Kbr + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     order = np.argsort(ubr, kind="stable")
     slots = np.arange(uniq.size) - starts[ubr[order]]
     slot_of_uniq[order] = slots
     bcols[ubr[order], slots] = ubc[order]
 
-    blocks = np.zeros((Kb, maxblk, block, block), dtype)
+    blocks = np.zeros((Kbr, maxblk, Br, Bc), dtype)
     slot_of_entry = slot_of_uniq[inv]
-    blocks[br, slot_of_entry, coo.row % block, coo.col % block] = coo.data
+    rloc = coo.row % Br
+    cloc = coo.col % Bc
+    blocks[br, slot_of_entry, rloc, cloc] = coo.data
+    if return_entry_maps:
+        return bcols, blocks, Kp, (br, slot_of_entry, rloc, cloc)
     return bcols, blocks, Kp
 
 
@@ -88,12 +115,14 @@ def bcsr_spmm(mat: BlockEll, V: jax.Array,
 
     Blocks may be stored in a narrower dtype (bfloat16) than V; the MXU
     multiplies in the block dtype and accumulates in V.dtype (float32) via
-    ``preferred_element_type`` — the memory-lean large-graph mode."""
-    B = mat.B
-    Kb = mat.Kb
+    ``preferred_element_type`` — the memory-lean large-graph mode.  Blocks
+    may be rectangular (Brow x Bcol, e.g. 8x128 = one native TPU tile)."""
+    Br, Bc = mat.Brow, mat.B
+    Kbr = mat.Kb
+    Kbc = mat.nrows // Bc
     D = V.shape[1]
     acc_dtype = V.dtype
-    Vb = V.astype(mat.blocks.dtype).reshape(Kb, B, D)
+    Vb = V.astype(mat.blocks.dtype).reshape(Kbc, Bc, D)
     maxblk = mat.bcols.shape[1]
 
     def slot(s, acc):
@@ -103,8 +132,8 @@ def bcsr_spmm(mat: BlockEll, V: jax.Array,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=precision, preferred_element_type=acc_dtype)
 
-    out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kb, B, D), acc_dtype))
-    return out.reshape(Kb * B, D)
+    out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kbr, Br, D), acc_dtype))
+    return out.reshape(Kbr * Br, D)
 
 
 def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128
@@ -128,55 +157,95 @@ class BcsrOperands:
     * ``s_blocks`` / ``st_blocks`` — S tilde and its transpose as BlockEll.
       ``st_blocks`` may be ``None`` (memory-lean mode): the transpose matvec
       then runs through :func:`bcsr_spmm_transpose` on ``s_blocks``;
-    * ``sw_vals`` — symmetrization weights on the s_blocks layout (1 one-way,
-      0.5 bidirectional, 0 off-pattern) so undirected pattern edges count
-      once in X-operator applies;
+    * edge-level Gram machinery (the million-link averaging path): the
+      averaged primal X lives as a [nnz+1] per-edge vector, not a block
+      array.  ``g_src``/``g_dst`` [maxblk, max_e] map each slot's block-Gram
+      output to edge ids (:func:`bcsr_edge_gram_accum`); ``w_edge`` [nnz]
+      holds the symmetrization weights (1 one-way / 0.5 bidirectional) in
+      the same edge order; ``s_pos`` [nnz] are flat positions into
+      [Kbr, maxblk, Br, Bc] for scattering averaged edge values back into a
+      block operator at the end;
     * association-edge block layout: ``q_bcols`` plus flat scatter positions
       ``q_pos``/source ids ``q_eidx`` mapping the [E_pad] upper-tri edge
-      value vector into a [Kb, maxblkQ, B, B] block array (both directions).
+      value vector into a [Kbr, maxblkQ, Br, Bc] block array (both
+      directions).
     """
 
     s_blocks: BlockEll
     st_blocks: Optional[BlockEll]
-    sw_vals: jax.Array   # [Kb, maxblk, B, B]
-    q_bcols: jax.Array   # [Kb, maxblkQ] int32
+    g_src: jax.Array     # [maxblk, max_e] int32
+    g_dst: jax.Array     # [maxblk, max_e] int32 (nnz = sink)
+    w_edge: jax.Array    # [nnz] f32
+    s_pos: jax.Array     # [nnz] int32
+    q_bcols: jax.Array   # [Kbr, maxblkQ] int32
     q_pos: jax.Array     # [2E] int32 flat positions into the q block array
     q_eidx: jax.Array    # [2E] int32 indices into the ut edge value vector
 
+    @property
+    def nnz(self) -> int:
+        return self.w_edge.shape[0]
+
 
 def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
-                             block: int = 128, dtype=np.float32,
-                             weights_dtype=None,
-                             store_transpose: bool = True) -> BcsrOperands:
-    """``dtype``: storage dtype of the value blocks — ``np.float32`` exact,
-    or ``jnp.bfloat16`` for half the footprint (the SpMM still accumulates
-    in f32 on the MXU; ~0.4% per-entry value noise, well inside MMW's
-    first-order convergence tolerance — validated in tests/test_ops.py).
-    ``store_transpose=False`` drops the S̃ᵀ copy (another third of the
-    footprint) in exchange for a segment-sum scatter per transpose matvec.
+                             block=(8, 128), dtype=np.float32,
+                             store_transpose: bool = False) -> BcsrOperands:
+    """``block``: (Brow, Bcol) or int.  (8, 128) is one native TPU tile —
+    zero layout padding; larger blocks lower the ELL fill.  ``dtype``:
+    storage dtype of the value blocks — ``np.float32`` exact, or
+    ``jnp.bfloat16`` for half the footprint (the SpMM still accumulates in
+    f32 on the MXU; ~0.4% per-entry value noise, well inside MMW's
+    first-order convergence tolerance — validated in tests/test_ell.py).
+    ``store_transpose=False`` (default) runs S̃ᵀ matvecs as scatter-adds
+    through ``s_blocks`` instead of storing a transposed copy.
     """
     import scipy.sparse
     from sig_sdp_mmw_tpu.core.ell import build_st_csr
 
-    weights_dtype = weights_dtype or dtype
+    Br, Bc = _block_pair(block)
     St = build_st_csr(S_csr, Q_csr)
+    St.sort_indices()
     K = St.shape[0]
-    nr = ((K + block - 1) // block) * block
-    Kb = nr // block
-    s_bcols, s_vals_np, _ = _bcsr_arrays_np(St, block, pad_rows_to=nr,
-                                            dtype=np.float32)
+    lcm = Br * Bc // math.gcd(Br, Bc)
+    nr = ((K + lcm - 1) // lcm) * lcm
+    Kbr = nr // Br
+    Kbc = nr // Bc
+    s_bcols, s_vals_np, _, (ebr, eslot, erloc, ecloc) = _bcsr_arrays_np(
+        St, (Br, Bc), pad_rows_to=nr, dtype=np.float32,
+        return_entry_maps=True)
+    maxblk = s_bcols.shape[1]
+    nnz = St.nnz
 
+    # --- edge-level Gram maps (entry order = St COO order = CSR sorted) ---
+    # Position of entry e inside slot s's [Kbr, Br, Bc] Gram output:
+    src_pos = ((ebr * Br + erloc) * Bc + ecloc).astype(np.int64)
+    counts_s = np.bincount(eslot, minlength=maxblk)
+    max_e = max(int(counts_s.max(initial=0)), 1)
+    g_src = np.zeros((maxblk, max_e), np.int32)
+    g_dst = np.full((maxblk, max_e), nnz, np.int32)      # sink by default
+    order = np.argsort(eslot, kind="stable")
+    within = np.arange(nnz) - np.concatenate(
+        ([0], np.cumsum(counts_s)))[eslot[order]]
+    g_src[eslot[order], within] = src_pos[order]
+    g_dst[eslot[order], within] = np.arange(nnz)[order]
+
+    # Position of entry e in the full [Kbr, maxblk, Br, Bc] block array (for
+    # scattering averaged edge values back into an operator at the end):
+    s_pos = (((ebr * maxblk + eslot) * Br + erloc) * Bc
+             + ecloc).astype(np.int32)
+
+    # Symmetrization weights, aligned with St's CSR entry order.
     P = St.copy()
     P.data = np.ones_like(P.data)
     B2 = P.multiply(P.transpose()).tocsr()
     Wm = (P - 0.5 * B2).tocsr()
     Wm.sort_indices()
-    sw_bcols, sw_vals_np, _ = _bcsr_arrays_np(Wm, block, pad_rows_to=nr,
-                                              dtype=np.float32)
     # Host-side consistency check BEFORE any device transfer (device->host
     # readback of raw transfers can hang on tunneled platforms).
-    if not np.array_equal(sw_bcols, s_bcols):
-        raise AssertionError("weight/value block layouts diverged")
+    if not (np.array_equal(Wm.indices, St.indices)
+            and np.array_equal(Wm.indptr, St.indptr)):
+        raise AssertionError("weight/value edge orders diverged")
+    w_edge = Wm.data.astype(np.float32)
+
     def _host_cast(arr, dt):
         # Cast on the HOST so the device never sees the f32 copy (a 4GB+
         # transient at million-link scale); ml_dtypes gives numpy a native
@@ -188,14 +257,12 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     st_blocks = None
     if store_transpose:
         StT = St.transpose().tocsr()
-        st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, block, pad_rows_to=nr,
+        st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, (Br, Bc),
+                                                  pad_rows_to=nr,
                                                   dtype=np.float32)
         st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
                              blocks=_host_cast(st_vals_np, dtype),
                              nrows=nr)
-    sw = BlockEll(bcols=jnp.asarray(sw_bcols),
-                  blocks=_host_cast(sw_vals_np, weights_dtype),
-                  nrows=nr)
 
     # Association edges -> block scatter layout.
     Qu = scipy.sparse.triu(Q_csr.tocsr(), k=1).tocoo()
@@ -204,14 +271,14 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     jj = np.concatenate([Qu.col, Qu.row]).astype(np.int64)
     ee = np.concatenate([np.arange(E), np.arange(E)]).astype(np.int64)
 
-    bi, bj = ii // block, jj // block
-    blk_id = bi * Kb + bj
+    bi, bj = ii // Br, jj // Bc
+    blk_id = bi * Kbc + bj
     uniq = np.unique(blk_id)
-    ubr, ubc = uniq // Kb, uniq % Kb
-    counts = np.bincount(ubr, minlength=Kb)
+    ubr, ubc = uniq // Kbc, uniq % Kbc
+    counts = np.bincount(ubr, minlength=Kbr)
     maxblkQ = max(int(counts.max(initial=0)), 1)
-    q_bcols = np.zeros((Kb, maxblkQ), np.int32)
-    starts = np.zeros(Kb + 1, np.int64)
+    q_bcols = np.zeros((Kbr, maxblkQ), np.int32)
+    starts = np.zeros(Kbr + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     order = np.argsort(ubr, kind="stable")
     slots_of_uniq = np.empty(uniq.size, np.int64)
@@ -219,11 +286,13 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     q_bcols[ubr, slots_of_uniq] = ubc
 
     slot_of_edge = slots_of_uniq[np.searchsorted(uniq, blk_id)]
-    q_pos = (((bi * maxblkQ + slot_of_edge) * block + ii % block) * block
-             + jj % block).astype(np.int32)
+    q_pos = (((bi * maxblkQ + slot_of_edge) * Br + ii % Br) * Bc
+             + jj % Bc).astype(np.int32)
 
     return BcsrOperands(
-        s_blocks=s_blocks, st_blocks=st_blocks, sw_vals=sw.blocks,
+        s_blocks=s_blocks, st_blocks=st_blocks,
+        g_src=jnp.asarray(g_src), g_dst=jnp.asarray(g_dst),
+        w_edge=jnp.asarray(w_edge), s_pos=jnp.asarray(s_pos),
         q_bcols=jnp.asarray(q_bcols), q_pos=jnp.asarray(q_pos),
         q_eidx=jnp.asarray(ee.astype(np.int32)))
 
@@ -232,7 +301,7 @@ def bcsr_block_gram(bcols: jax.Array, Xb: jax.Array,
                     precision=lax.Precision.HIGHEST) -> jax.Array:
     """Pattern-restricted block Gram: for every (block-row k, slot s),
     ``Xb[k] @ Xb[bcols[k, s]]^T`` -> [Kb, maxblk, B, B].  The all-MXU
-    replacement for per-edge gather dots."""
+    replacement for per-edge gather dots.  (Square-block layout only.)"""
     maxblk = bcols.shape[1]
 
     def slot(s, acc):
@@ -246,12 +315,45 @@ def bcsr_block_gram(bcols: jax.Array, Xb: jax.Array,
                          jnp.zeros((Kb, maxblk, B, B), Xb.dtype))
 
 
+def bcsr_edge_gram_accum(bcols: jax.Array, Xr: jax.Array, Xc: jax.Array,
+                         g_src: jax.Array, g_dst: jax.Array,
+                         acc: jax.Array, scale,
+                         precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Accumulate the PATTERN-RESTRICTED Gram onto a per-edge vector:
+    ``acc[e] += scale * <X[i_e], X[j_e]>`` for every nonzero e of the block
+    pattern, slot by slot.  Per slot: one batched [Br, D] x [Bc, D]^T MXU
+    matmul produces the block Gram ([Kbr, Br, Bc], a small transient), whose
+    actual-nonzero entries are gathered by ``g_src[s]`` and scatter-added at
+    ``g_dst[s]`` (padding rows target the sink slot acc[-1]).
+
+    This replaces a full [Kbr, maxblk, Br, Bc] averaged-Gram buffer (4-8 GB
+    at million-link scale) with an O(nnz) vector (~85 MB at 21M nonzeros).
+
+    Args:
+      Xr: [Kbr, Br, D] row-blocked X;  Xc: [Kbc, Bc, D] column-blocked X
+        (same underlying array, different reshape).
+      g_src/g_dst: [maxblk, max_e] int32 maps from
+        :func:`bcsr_operands_from_state`.
+      acc: [nnz_pad + 1] accumulator (last element = padding sink).
+    """
+    maxblk = bcols.shape[1]
+
+    def slot(s, a):
+        G = lax.dot_general(Xr, Xc[bcols[:, s]],
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            precision=precision,
+                            preferred_element_type=a.dtype)
+        vals = G.reshape(-1)[g_src[s]]
+        return a.at[g_dst[s]].add(scale * vals)
+
+    return lax.fori_loop(0, maxblk, slot, acc)
+
+
 def bcsr_block_gram_accum(bcols: jax.Array, Xb: jax.Array, acc: jax.Array,
                           scale, precision=lax.Precision.HIGHEST) -> jax.Array:
     """``acc[k, s] += scale * Xb[k] @ Xb[bcols[k, s]]^T`` slot-by-slot,
-    updating the accumulator in place — avoids materializing a second
-    full-size [Kb, maxblk, B, B] Gram array (the memory-lean averaging path
-    for million-link graphs)."""
+    updating the accumulator in place.  (Square-block layout; superseded by
+    :func:`bcsr_edge_gram_accum` for large graphs.)"""
     maxblk = bcols.shape[1]
 
     def slot(s, a):
@@ -269,26 +371,28 @@ def bcsr_spmm_transpose(mat_bcols: jax.Array, blocks: jax.Array,
                         precision=lax.Precision.HIGHEST) -> jax.Array:
     """``A^T @ V`` where A is given in BlockEll form (bcols, blocks):
     per-slot contributions scattered by target block via segment_sum."""
-    Kb, maxblk = mat_bcols.shape
-    B = blocks.shape[-1]
+    Kbr, maxblk = mat_bcols.shape
+    Br, Bc = blocks.shape[-2], blocks.shape[-1]
+    nrows = Kbr * Br
+    Kbc = nrows // Bc
     D = V.shape[1]
     acc_dtype = V.dtype
-    Vb = V.astype(blocks.dtype).reshape(Kb, B, D)
+    Vr = V.astype(blocks.dtype).reshape(Kbr, Br, D)
 
-    # Slot-by-slot scatter-add: contrib_s[k] = blocks[k, s]^T @ Vb[k] lands
-    # in output block bcols[k, s].  One [Kb, B, D] buffer per step instead of
-    # the full [Kb*maxblk, B, D] segment-sum operand (3GB+ at million-link
-    # scale — the difference between fitting in HBM and OOM).
+    # Slot-by-slot scatter-add: contrib_s[k] = blocks[k, s]^T @ Vr[k] lands
+    # in output column-block bcols[k, s].  One [Kbr, Bc, D] buffer per step
+    # instead of the full [Kbr*maxblk, Bc, D] segment-sum operand (3GB+ at
+    # million-link scale — the difference between fitting in HBM and OOM).
     def slot(s, acc):
         contrib = lax.dot_general(
-            blocks[:, s], Vb,
+            blocks[:, s], Vr,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             precision=precision,
-            preferred_element_type=acc_dtype)            # [Kb, B(col), D]
+            preferred_element_type=acc_dtype)            # [Kbr, Bc, D]
         return acc.at[mat_bcols[:, s]].add(contrib)
 
-    seg = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kb, B, D), acc_dtype))
-    return seg.reshape(Kb * B, D)
+    seg = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kbc, Bc, D), acc_dtype))
+    return seg.reshape(nrows, D)
 
 
 def spatial_order(sta_locs: np.ndarray, cell_edge: float) -> np.ndarray:
