@@ -174,8 +174,9 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         ub=jnp.zeros((nit if log_ub else 0,), dtype),
     )
     if use_bcsr:
-        carry0["avg_bG"] = jnp.zeros((Kb, bcsr.s_blocks.bcols.shape[1],
-                                      Bsz, Bsz), dtype)
+        # Averaged primal on the S̃ pattern as an O(nnz) per-edge vector
+        # (last element = padding sink for bcsr_edge_gram_accum).
+        carry0["avg_edge"] = jnp.zeros((nnz_s + 1,), dtype)
     else:
         carry0["s_edge"] = jnp.zeros(ell.s_cols.shape, dtype)
         carry0["st_edge"] = jnp.zeros(ell.st_cols.shape, dtype)
@@ -255,14 +256,18 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                    hrow=hrow, X_mdiag=X_mdiag, xF=xF, xH=xH,
                    avg_mdiag=avg_mdiag, avg_F=avg_F, avg_H=avg_H, ub=ub)
         if use_bcsr:
-            # Pattern-restricted Gram as block matmuls accumulated IN PLACE
-            # (no second full-size Gram buffer); the average over t=0..nit-1
-            # excludes the final X (mmw.py:77 accumulates pre-update), hence
-            # the i<nit-1 gate.
-            Xb = padV(X_half).reshape(Kb, Bsz, D_pad)
+            # Pattern-restricted Gram as block matmuls accumulated straight
+            # onto the per-edge vector (no full [Kbr, maxblk, Br, Bc] Gram
+            # buffer).  The average over t=0..nit-1 excludes the final X
+            # (mmw.py:77 accumulates pre-update) and X_0=I contributes 0 on
+            # the off-diagonal pattern, hence the i<nit-1 gate.
+            Xp = padV(X_half)
+            Xr = Xp.reshape(Kbr, Brow, D_pad)
+            Xc = Xp.reshape(Kbc, Bcol, D_pad)
             gate = jnp.where(i < nit - 1, 1.0, 0.0).astype(dtype)
-            out["avg_bG"] = bcsr_block_gram_accum(
-                bcsr.s_blocks.bcols, Xb, c["avg_bG"], gate * inv_tr)
+            out["avg_edge"] = bcsr_edge_gram_accum(
+                bcsr.s_blocks.bcols, Xr, Xc, bcsr.g_src, bcsr.g_dst,
+                c["avg_edge"], gate * inv_tr)
         else:
             out["s_edge"] = jnp.where(
                 ell.s_vals != 0, _edge_dots(ell, ell.s_cols, X_half, inv_tr),
@@ -288,7 +293,13 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                     jnp.max(jnp.where(ell.mask, eH, neg)))))
 
     if use_bcsr:
-        wavg = (c["avg_bG"] / nit) * bcsr.sw_vals.astype(dtype)
+        # Scatter the symmetrization-weighted averaged edge values back into
+        # a block operator (the transient full block array exists only here,
+        # once, not inside the iteration loop).
+        avg_vals = (c["avg_edge"][:nnz_s] / nit) * bcsr.w_edge.astype(dtype)
+        flat = jnp.zeros((Kbr * maxblk * Brow * Bcol,), dtype)
+        wavg = flat.at[bcsr.s_pos].set(avg_vals).reshape(
+            Kbr, maxblk, Brow, Bcol)
         q_avg = q_block_vals(avg_F)
         avg_bell = BlockEll(bcols=bcsr.s_blocks.bcols, blocks=wavg,
                             nrows=nrows)
