@@ -188,7 +188,8 @@ class BcsrOperands:
 
 def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
                              block=(8, 128), dtype=np.float32,
-                             store_transpose: bool = False) -> BcsrOperands:
+                             store_transpose: bool = False,
+                             weights_dtype=np.float32) -> BcsrOperands:
     """``block``: (Brow, Bcol) or int.  (8, 128) is one native TPU tile —
     zero layout padding; larger blocks lower the ELL fill.  ``dtype``:
     storage dtype of the value blocks — ``np.float32`` exact, or
@@ -197,6 +198,10 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     first-order convergence tolerance — validated in tests/test_ell.py).
     ``store_transpose=False`` (default) runs S̃ᵀ matvecs as scatter-adds
     through ``s_blocks`` instead of storing a transposed copy.
+    ``weights_dtype``: storage dtype of the [nnz] symmetrization weight
+    vector ``w_edge`` — its values are exactly 1.0 or 0.5, so bfloat16
+    storage is lossless and halves another O(nnz) buffer; the consumer
+    (models/mmw_ell.py) casts back to f32 at use.
     """
     import scipy.sparse
     from sig_sdp_mmw_tpu.core.ell import build_st_csr
@@ -292,7 +297,7 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     return BcsrOperands(
         s_blocks=s_blocks, st_blocks=st_blocks,
         g_src=jnp.asarray(g_src), g_dst=jnp.asarray(g_dst),
-        w_edge=jnp.asarray(w_edge), s_pos=jnp.asarray(s_pos),
+        w_edge=_host_cast(w_edge, weights_dtype), s_pos=jnp.asarray(s_pos),
         q_bcols=jnp.asarray(q_bcols), q_pos=jnp.asarray(q_pos),
         q_eidx=jnp.asarray(ee.astype(np.int32)))
 
