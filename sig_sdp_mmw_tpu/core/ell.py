@@ -50,6 +50,10 @@ class EllState:
     q_cols: jax.Array   # [Kp, degQ] int32
     q_eidx: jax.Array   # [Kp, degQ] int32 (index into a_* arrays)
     q_mask: jax.Array   # [Kp, degQ] bool
+    q_gain: jax.Array   # [Kp, degQ] S values at association positions
+                        # (S[k, q_cols[k, n]]): the assoc-pair gains that the
+                        # solver strips from S̃ but exact interference
+                        # accounting (verify_assignment_ell) still needs
     diag_S: jax.Array   # [Kp]
     h_max: jax.Array    # [Kp]
     mask: jax.Array     # [Kp] bool
@@ -63,9 +67,59 @@ class EllState:
     def E_pad(self) -> int:
         return self.a_i.shape[0]
 
+    def degree_bounds(self) -> Tuple[int, int]:
+        """(lb, ub) for the binary search over Z — reference semantics
+        (``sim_src/alg/binary_search_relaxation.py:13-29``) computed from the
+        padded ELL arrays without densification:
+
+        lb = max association degree + 1; ub = max row count of the stored
+        pattern of ``S + S^T`` after ``setdiag(0)`` + 1.  The off-diagonal
+        pattern per row is the union of S̃ out-neighbors, S̃ in-neighbors and
+        association neighbors (assoc pairs are always stored in S because
+        ``S[i,j] = S[i,i]`` for co-associated users); scipy's ``setdiag(0)``
+        keeps an explicit stored zero on the diagonal, hence the +2 replicated
+        from :meth:`sig_sdp_mmw_tpu.core.problem.SigState.degree_bounds`.
+        """
+        mask = np.asarray(self.mask)
+        lb = self.asso_lower_bound()
+        cat = np.concatenate([
+            np.where(np.asarray(self.s_vals) != 0, np.asarray(self.s_cols), -1),
+            np.where(np.asarray(self.st_vals) != 0, np.asarray(self.st_cols), -1),
+            np.where(np.asarray(self.q_mask), np.asarray(self.q_cols), -1),
+        ], axis=1)
+        cat.sort(axis=1)
+        distinct = (cat >= 0) & np.concatenate(
+            [np.ones((cat.shape[0], 1), bool), cat[:, 1:] != cat[:, :-1]], axis=1)
+        ub = int(distinct.sum(axis=1)[mask].max(initial=0)) + 2
+        return max(lb, 2), max(ub, 2)
+
+    def asso_lower_bound(self) -> int:
+        """lb = max association degree + 1 (``binary_search_relaxation.py:14-17``)."""
+        q_deg = np.asarray(self.q_mask).sum(axis=1)
+        return int(q_deg[np.asarray(self.mask)].max(initial=0)) + 1
+
 
 def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
+
+
+def _csr_gather(M, rows, cols):
+    """Vectorized ``M[rows[i], cols[i]]`` lookup on a sorted-indices CSR via a
+    global row-major key search — O(nnz + q log nnz), no per-entry Python."""
+    M = M.tocsr()
+    M.sort_indices()
+    ncol = M.shape[1]
+    row_of = np.repeat(np.arange(M.shape[0], dtype=np.int64),
+                       np.diff(M.indptr))
+    keys = row_of * ncol + M.indices
+    q = np.asarray(rows, np.int64) * ncol + np.asarray(cols, np.int64)
+    pos = np.searchsorted(keys, q)
+    pos = np.minimum(pos, max(keys.size - 1, 0))
+    out = np.zeros(q.size, M.data.dtype)
+    if keys.size:
+        hit = keys[pos] == q
+        out[hit] = M.data[pos[hit]]
+    return out
 
 
 def build_st_csr(S_csr, Q_csr):
@@ -162,6 +216,8 @@ def ell_from_scipy(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
     q_cols[ends, slots] = peers
     q_eidx[ends, slots] = eids
     q_mask[ends, slots] = True
+    q_gain = np.zeros((Kp, degQ), dtype)
+    q_gain[ends, slots] = _csr_gather(S, ends, peers).astype(dtype)
 
     hm = np.zeros(Kp, dtype)
     hm[:K] = np.asarray(h_max, dtype)
@@ -174,7 +230,7 @@ def ell_from_scipy(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
         s_xw=jnp.asarray(s_xw), st_xw=jnp.asarray(st_xw),
         a_i=jnp.asarray(a_i), a_j=jnp.asarray(a_j), a_mask=jnp.asarray(a_mask),
         q_cols=jnp.asarray(q_cols), q_eidx=jnp.asarray(q_eidx),
-        q_mask=jnp.asarray(q_mask),
+        q_mask=jnp.asarray(q_mask), q_gain=jnp.asarray(q_gain),
         diag_S=jnp.asarray(diag_S), h_max=jnp.asarray(hm),
         mask=jnp.asarray(mask), K=K)
 

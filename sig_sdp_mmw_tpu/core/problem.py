@@ -69,6 +69,11 @@ class SigState:
         ub = int(Ssym.sum(axis=1).max()) + 2
         return lb, ub
 
+    def asso_lower_bound(self) -> int:
+        """lb = max association degree + 1 (``binary_search_relaxation.py:14-17``)."""
+        Q = np.asarray(self.Q)
+        return int((Q != 0).sum(axis=1).max()) + 1
+
 
 def state_from_arrays(S, Q, h_max, pad_to: Optional[int] = None,
                       dtype=jnp.float32) -> SigState:

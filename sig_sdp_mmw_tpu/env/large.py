@@ -22,14 +22,25 @@ from sig_sdp_mmw_tpu.env.env import EnvParams
 from sig_sdp_mmw_tpu.env import phy
 
 
-def interference_cutoff_m(p: EnvParams) -> float:
+def interference_cutoff_m(p: EnvParams, min_ratio: Optional[float] = None
+                          ) -> float:
     """Distance beyond which a power-controlled user's rx ratio at any AP is
-    below ``min_s_n_ratio`` even for the worst in-cell own-AP distance."""
+    below ``min_ratio`` (default: the state threshold ``min_s_n_ratio``) even
+    for the worst in-cell own-AP distance."""
     # Own-AP distance is at most half the cell diagonal.
     d_own = p.cell_edge * math.sqrt(2.0) / 2.0
-    margin_db = 10.0 * math.log10(p.min_sinr * p.txp_offset / p.min_s_n_ratio)
+    ratio = p.min_s_n_ratio if min_ratio is None else min_ratio
+    margin_db = 10.0 * math.log10(p.min_sinr * p.txp_offset / ratio)
     # loss(d) - loss(d_own) = 28 log10((d+1)/(d_own+1)) (env.py:93-97)
     return (d_own + 1.0) * 10.0 ** (margin_db / 28.0) - 1.0
+
+
+def ap_grid(p: EnvParams) -> np.ndarray:
+    """AP positions (host float64; ``env.py:52-56`` ordering)."""
+    offset = p.cell_edge / 2.0
+    x = np.linspace(offset, p.grid_edge - offset, p.cell_size)
+    xx, yy = np.meshgrid(x, x)
+    return np.stack([xx.ravel(), yy.ravel()], axis=1)
 
 
 def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
@@ -57,10 +68,7 @@ def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
     rng = np.random.default_rng(seed)
     K, A = p.n_sta, p.n_ap
 
-    offset = p.cell_edge / 2.0
-    x = np.linspace(offset, p.grid_edge - offset, p.cell_size)
-    xx, yy = np.meshgrid(x, x)
-    aps = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    aps = ap_grid(p)
     stas = rng.uniform(0.0, p.grid_edge, size=(K, 2))
     from sig_sdp_mmw_tpu.ops.bcsr import spatial_order
 
@@ -146,3 +154,177 @@ def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
     if return_locs:
         return S, Q, h_max, stas
     return S, Q, h_max
+
+
+# ---------------------------------------------------------------------------
+# Sparse evaluation (reference env.py:198-232 at scales where the dense
+# [K, K] real channel cannot exist)
+# ---------------------------------------------------------------------------
+
+def _linear_channel_factors(stas: np.ndarray, aps: np.ndarray, p: EnvParams):
+    """Per-user linear factor T_k with rx_ratio(k, a) = T_k * (d_ka + 1)^-2.8
+    under the reference's power control (env.py:93-97, 136-142)."""
+    from scipy.spatial import cKDTree
+
+    from sig_sdp_mmw_tpu.env import phy
+
+    d_min, _ = cKDTree(aps).query(stas)
+    L0 = 20.0 * math.log10(p.fre_Hz / 1e6) + 16.0 - 28.0
+    gmax_db = -(L0 + 28.0 * np.log10(d_min + 1.0))
+    noise = phy.noise_dbm(p.bandwidth)
+    txp = (p.min_sinr_db - (gmax_db - noise)
+           + 10.0 * math.log10(p.txp_offset))
+    return 10.0 ** ((txp - noise - L0) / 10.0)
+
+
+def _tail_factors_per_ap(aps: np.ndarray, p: EnvParams, R: float,
+                         nq: int = 64) -> np.ndarray:
+    """Mean-field geometric factor per AP: C_a = (1/area) * integral of
+    (d+1)^-2.8 over the part of the grid farther than R from AP a.  A
+    midpoint quadrature over the *finite* grid (an annulus integral would
+    overcount: near the boundary most of the annulus lies outside the
+    deployment area).  Multiplied by the summed linear power of a slot's
+    users, this is the expected per-AP interference from users beyond the
+    exact-evaluation radius under a uniform user distribution."""
+    g = p.grid_edge
+    q = (np.arange(nq) + 0.5) * g / nq
+    qx, qy = np.meshgrid(q, q)
+    qpts = np.stack([qx.ravel(), qy.ravel()], axis=1)      # [nq*nq, 2]
+    out = np.zeros(aps.shape[0])
+    chunk = max(1, int(2e7 // qpts.shape[0]))
+    for s in range(0, aps.shape[0], chunk):
+        d = np.linalg.norm(aps[s:s + chunk, None, :] - qpts[None, :, :],
+                           axis=-1)
+        out[s:s + chunk] = np.sum(
+            np.where(d > R, (d + 1.0) ** -2.8, 0.0), axis=1)
+    return out / (nq * nq)
+
+
+def evaluate_sinr_sparse(stas: np.ndarray, aps: np.ndarray, p: EnvParams,
+                         z, Z: int, eval_min_ratio: float = 1e-3,
+                         tail_correction: bool = True) -> np.ndarray:
+    """Per-user SINR of assignment ``z`` — reference semantics
+    (``env.py:198-224``: unthresholded channel, same-slot interference at the
+    user's own AP, per-(AP, slot) winner rule) computed in O(K * deg_eval)
+    instead of O(K^2):
+
+    * exact contributions from every same-slot user whose rx ratio exceeds
+      ``eval_min_ratio`` (a KD-tree ball query at the corresponding radius);
+    * the omitted far tail replaced by its mean-field expectation (uniform
+      user density x the analytic annulus integral of the path-loss law),
+      added per slot — each omitted term is < eval_min_ratio and the
+      correction keeps the *aggregate* unbiased, so the approximation error
+      is O(sqrt(n_far)) fluctuations around an exact mean rather than a bias.
+      ``tests/test_large_eval.py`` pins agreement with the dense evaluator.
+    """
+    from scipy.spatial import cKDTree
+
+    K = stas.shape[0]
+    A = aps.shape[0]
+    z = np.asarray(z).astype(np.int64)
+
+    T = _linear_channel_factors(stas, aps, p)
+    tree = cKDTree(aps)
+    d_own, asso = tree.query(stas)
+    signal = T * (d_own + 1.0) ** -2.8
+
+    R_eval = interference_cutoff_m(p, min_ratio=eval_min_ratio)
+    c_tail = (_tail_factors_per_ap(aps, p, R_eval)
+              if tail_correction else np.zeros(A))
+
+    interference = np.zeros(K)
+    valid = (z >= 0) & (z < Z)
+    for zz in range(Z):
+        U = np.flatnonzero(valid & (z == zz))
+        if U.size == 0:
+            continue
+        load = np.zeros(A)
+        # Chunk the ball queries so peak memory stays O(chunk * deg_eval).
+        chunk = max(1, int(4e6 / max(1.0, np.pi * R_eval ** 2
+                                     / p.cell_edge ** 2)))
+        for s in range(0, U.size, chunk):
+            Uc = U[s:s + chunk]
+            nb = tree.query_ball_point(stas[Uc], r=R_eval)
+            rows = np.concatenate(
+                [np.full(len(n), i) for i, n in enumerate(nb)]) \
+                if len(nb) else np.zeros(0, np.int64)
+            cols = np.concatenate([np.asarray(n, np.int64) for n in nb]) \
+                if len(nb) else np.zeros(0, np.int64)
+            d = np.linalg.norm(stas[Uc][rows] - aps[cols], axis=1)
+            np.add.at(load, cols, T[Uc][rows] * (d + 1.0) ** -2.8)
+        tail = T[U].sum() * c_tail[asso[U]]
+        # Own contribution (the k = j diagonal term, excluded by the
+        # reference's S_gain_T_no_diag) is exactly `signal` for slot members.
+        interference[U] = load[asso[U]] + tail - signal[U]
+
+    sinr = np.full(K, 1e-3)
+    sinr[valid] = signal[valid] / (np.maximum(interference[valid], 0.0) + 1.0)
+
+    # Winner rule: within each (AP, slot) group only the strongest-SINR user
+    # keeps its SINR (ties -> lowest index, matching np.ma.argmax).
+    key = asso.astype(np.int64) * (Z + 1) + z
+    key[~valid] = -1
+    order = np.lexsort((np.arange(K), -sinr, key))
+    ks = key[order]
+    first = np.ones(K, bool)
+    first[1:] = ks[1:] != ks[:-1]
+    losers = order[~first & (ks >= 0)]
+    sinr[losers] = 1e-3
+    return sinr
+
+
+class LargeEnv:
+    """Large-scale environment: sparse state generation + sparse evaluation.
+
+    The sparse counterpart of :class:`sig_sdp_mmw_tpu.env.env.WirelessEnv`
+    (reference ``sim_src/env/env.py:5``) for the 100k-1M-link configs where
+    the dense [K, A] / [K, K] channel matrices cannot be materialized.
+    """
+
+    def __init__(self, cell_size: int, sta_density_per_1m2: float = 75e-4,
+                 seed: int = 0, params: Optional[EnvParams] = None,
+                 backend: str = "auto"):
+        self.params = params or EnvParams(
+            cell_size=cell_size, sta_density_per_1m2=sta_density_per_1m2)
+        self.seed = seed
+        self.backend = backend
+        self._state = None
+        self._stas = None
+
+    @property
+    def K(self) -> int:
+        return self.params.n_sta
+
+    def generate_state_csr(self):
+        """(S_csr, Q_csr, h_max) — cached per instance."""
+        if self._state is None:
+            S, Q, h, stas = generate_large_state_csr(
+                self.params.cell_size, self.params.sta_density_per_1m2,
+                seed=self.seed, params=self.params, return_locs=True,
+                backend=self.backend)
+            self._state = (S, Q, h)
+            self._stas = stas
+        return self._state
+
+    def generate_ell(self, **kw):
+        from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+        return ell_from_scipy(*self.generate_state_csr(), **kw)
+
+    @property
+    def sta_locs(self) -> np.ndarray:
+        self.generate_state_csr()
+        return self._stas
+
+    def evaluate_sinr(self, z, Z: int, eval_min_ratio: float = 1e-3,
+                      tail_correction: bool = True) -> np.ndarray:
+        return evaluate_sinr_sparse(self.sta_locs, ap_grid(self.params),
+                                    self.params, z, Z,
+                                    eval_min_ratio=eval_min_ratio,
+                                    tail_correction=tail_correction)
+
+    def evaluate_bler(self, z, Z: int, **kw) -> np.ndarray:
+        from sig_sdp_mmw_tpu.env import phy
+        p = self.params
+        sinr = self.evaluate_sinr(z, Z, **kw)
+        return np.asarray(phy.polyanskiy_model(sinr, p.packet_bit,
+                                               p.bandwidth, p.slot_time))

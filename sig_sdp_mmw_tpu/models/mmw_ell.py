@@ -15,8 +15,10 @@ static-sparse representation:
 * the averaged primal is accumulated per edge slot, and the final low-rank
   factor comes from operator-based randomized subspace iteration.
 
-LOG_GAP's lower bound (eigsh of the averaged loss) is supported through the
-same implicit operator.
+LOG_GAP parity (``mmw.py:79-117``): the UB is the max violation of the
+averaged primal; the LB is ``K * lambda_min`` of the loss built from the
+averaged dual weights, evaluated with fixed-iteration Lanczos through the
+SAME implicit operator as the solve itself — no densification at any size.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from sig_sdp_mmw_tpu.core.ell import EllState
 from sig_sdp_mmw_tpu.models.mmw import mmw_default_lanczos_m
 from sig_sdp_mmw_tpu.ops.ell import ell_spmm, ell_edge_gather_dot
 from sig_sdp_mmw_tpu.ops.expm import lanczos_expm_multiply
+from sig_sdp_mmw_tpu.ops.lanczos import lanczos_extreme_eigs
 
 _PREC = lax.Precision.HIGHEST
 
@@ -41,7 +44,7 @@ _PREC = lax.Precision.HIGHEST
 class MMWEllOutput:
     X_half: jax.Array      # [Kp, rank_pad]
     ub_final: jax.Array    # scalar
-    gap_ub: jax.Array      # [nit] UB trajectory if log_ub else [0]
+    gap_log: jax.Array     # [nit, 2] (UB, LB) trajectory if log_gap else [0, 2]
 
 
 def _q_apply(ell: EllState, edge_vals, V):
@@ -67,7 +70,8 @@ def _edge_dots(ell: EllState, cols, X_half, inv_trace):
 def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                   rank_radio: int = 2, D_pad: int, rank_pad: int,
                   key: jax.Array, lanczos_m: Optional[int] = None,
-                  log_ub: bool = False, reorth: bool = True,
+                  log_gap: bool = False, gap_lanczos_m: int = 32,
+                  reorth: bool = True,
                   rsvd_iters: int = 3, bcsr=None) -> MMWEllOutput:
     """``bcsr``: optional :class:`sig_sdp_mmw_tpu.ops.bcsr.BcsrOperands`.
     When provided, EVERY per-iteration O(nnz*D) operation — the Lanczos
@@ -134,6 +138,18 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         eH = (xH * (Zf - 1.0) / Zf - (ell.h_max - S_sum / Zf)) / norm_H
         return eD, eF, eH
 
+    def loss_pieces(YD, YF, YH):
+        """Implicit loss L(Y) = diag(d) + sym-edge(f on Q) + sym(h∘S̃)
+        (``mmw.py:146-164``), as the three coefficient vectors L_apply takes."""
+        ld = (YD - jnp.sum(YD) / K) / (1.0 - 1.0 / K)
+        lf_diag = jnp.sum(YF) / (K * (Zf - 1.0)) * cF
+        coeff = YH / norm_H
+        lh_diag = -jnp.sum((ell.h_max / K - S_sum / (K * Zf)) * coeff)
+        d = jnp.where(ell.mask, ld + lf_diag + lh_diag, 0.0)
+        f = YF * cF * 0.5
+        h = coeff * (Zf - 1.0) / (2.0 * Zf)
+        return d, f, h
+
     if use_bcsr:
         def s_matvec(V):
             return bcsr_spmm(bcsr.s_blocks, padV(V))[:Kp]
@@ -162,6 +178,12 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         t = t + st_matvec(hrow[:, None] * V)
         return t
 
+    # Initial Y: uniform over the valid constraints = softmax of zeros
+    # (mmw.py:61-66); carried so the averaged dual matches the reference's
+    # pre-update accumulation (mmw.py:78).
+    y0D, y0F, y0H = masked_softmax(jnp.zeros((Kp,), dtype),
+                                   jnp.zeros((E_pad,), dtype),
+                                   jnp.zeros((Kp,), dtype))
     carry0 = dict(
         eaD=jnp.zeros((Kp,), dtype), eaF=jnp.zeros((E_pad,), dtype),
         eaH=jnp.zeros((Kp,), dtype),
@@ -171,7 +193,10 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         xF=jnp.zeros((E_pad,), dtype), xH=jnp.zeros((Kp,), dtype),
         avg_mdiag=jnp.zeros((Kp,), dtype), avg_F=jnp.zeros((E_pad,), dtype),
         avg_H=jnp.zeros((Kp,), dtype),
-        ub=jnp.zeros((nit if log_ub else 0,), dtype),
+        y_D=y0D, y_F=y0F, y_H=y0H,
+        ya_D=jnp.zeros((Kp,), dtype), ya_F=jnp.zeros((E_pad,), dtype),
+        ya_H=jnp.zeros((Kp,), dtype),
+        gap=jnp.zeros((nit if log_gap else 0, 2), dtype),
     )
     if use_bcsr:
         # Averaged primal on the S̃ pattern as an O(nnz) per-edge vector
@@ -192,8 +217,13 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
             avg_s = c["avg_s"] + c["s_edge"]
             avg_st = c["avg_st"] + c["st_edge"]
 
-        ub = c["ub"]
-        if log_ub:
+        # Averaged dual weights (pre-update, mmw.py:78).
+        ya_D = c["ya_D"] + c["y_D"]
+        ya_F = c["ya_F"] + c["y_F"]
+        ya_H = c["ya_H"] + c["y_H"]
+
+        gap = c["gap"]
+        if log_gap:
             n = jnp.asarray(i + 1, dtype)
             eD, eF, eH = violations(avg_mdiag / n, avg_F / n, avg_H / n)
             neg = jnp.asarray(-jnp.inf, dtype)
@@ -201,7 +231,26 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                 jnp.max(jnp.where(ell.mask, eD, neg)),
                 jnp.maximum(jnp.max(jnp.where(ell.a_mask, eF, neg)),
                             jnp.max(jnp.where(ell.mask, eH, neg)))))
-            ub = lax.dynamic_update_index_in_dim(ub, u, i, axis=0)
+            # LB = K * lambda_min of the averaged loss (mmw.py:96-116),
+            # through the SAME implicit operator the solve uses.
+            d_bar, f_bar, h_bar = loss_pieces(ya_D / n, ya_F / n, ya_H / n)
+            if use_bcsr:
+                fbar_blocks = q_block_vals(f_bar)
+
+                def q_matvec_bar(V):
+                    return bcsr_spmm(BlockEll(bcols=bcsr.q_bcols,
+                                              blocks=fbar_blocks,
+                                              nrows=nrows), padV(V))[:Kp]
+            else:
+                def q_matvec_bar(V):
+                    return _q_apply(ell, f_bar, V)
+
+            lkey = jax.random.fold_in(key, 2 * nit + 7)
+            lam_min, _ = lanczos_extreme_eigs(
+                lambda V: L_apply(d_bar, q_matvec_bar, h_bar, V), lkey, Kp,
+                m=gap_lanczos_m, dtype=dtype)
+            gap = lax.dynamic_update_index_in_dim(
+                gap, jnp.stack([u, lam_min * K]), i, axis=0)
 
         # Dual (mmw.py:126-139).
         eD, eF, eH = violations(c["X_mdiag"], c["xF"], c["xH"])
@@ -211,14 +260,10 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         YD, YF, YH = masked_softmax(eaD, eaF, eaH)
 
         # Loss accumulation on the implicit structure (mmw.py:146-167).
-        ld = (YD - jnp.sum(YD) / K) / (1.0 - 1.0 / K)
-        lf_diag = jnp.sum(YF) / (K * (Zf - 1.0)) * cF
-        coeff = YH / norm_H
-        lh_diag = -jnp.sum((ell.h_max / K - S_sum / (K * Zf)) * coeff)
-        d_accu = c["d_accu"] - eta * jnp.where(
-            ell.mask, ld + lf_diag + lh_diag, 0.0)
-        f_accu = c["f_accu"] - eta * (YF * cF * 0.5)
-        hrow = c["hrow"] - eta * coeff * (Zf - 1.0) / (2.0 * Zf)
+        ld_d, lf_f, lh_h = loss_pieces(YD, YF, YH)
+        d_accu = c["d_accu"] - eta * ld_d
+        f_accu = c["f_accu"] - eta * lf_f
+        hrow = c["hrow"] - eta * lh_h
 
         if use_bcsr:
             qvals = q_block_vals(f_accu)
@@ -254,7 +299,9 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
 
         out = dict(eaD=eaD, eaF=eaF, eaH=eaH, d_accu=d_accu, f_accu=f_accu,
                    hrow=hrow, X_mdiag=X_mdiag, xF=xF, xH=xH,
-                   avg_mdiag=avg_mdiag, avg_F=avg_F, avg_H=avg_H, ub=ub)
+                   avg_mdiag=avg_mdiag, avg_F=avg_F, avg_H=avg_H,
+                   y_D=YD, y_F=YF, y_H=YH,
+                   ya_D=ya_D, ya_F=ya_F, ya_H=ya_H, gap=gap)
         if use_bcsr:
             # Pattern-restricted Gram as block matmuls accumulated straight
             # onto the per-edge vector (no full [Kbr, maxblk, Br, Bc] Gram
@@ -343,4 +390,96 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                        0.0)
     X_half = jnp.where(ell.mask[:, None], X_half, 0.0)
 
-    return MMWEllOutput(X_half=X_half, ub_final=ub_final, gap_ub=c["ub"])
+    return MMWEllOutput(X_half=X_half, ub_final=ub_final, gap_log=c["gap"])
+
+
+from sig_sdp_mmw_tpu.utils.stats import StatsObject as _StatsObject
+
+
+class MMWEll(_StatsObject):
+    """Reference-compatible solver object over the sparse ELL state — the
+    large-K counterpart of :class:`sig_sdp_mmw_tpu.models.mmw.MMW` (reference
+    ``mmw.py:12-24``), pluggable into
+    :class:`sig_sdp_mmw_tpu.models.search.BinarySearchRelaxation`.
+
+    ``Z`` is traced, so the whole binary search shares one executable per
+    (Kp, D_pad) bucket.  ``use_bcsr=True`` runs every hot op as block-sparse
+    MXU matmuls (build operands once per state via :meth:`prepare`).
+    """
+
+    def __init__(self, nit: int = 100, rank_radio: int = 2,
+                 eta: float = 0.1, log_gap: bool = False,
+                 lanczos_m: Optional[int] = None, seed: int = 0,
+                 use_bcsr: bool = False, nattempt: int = 10):
+        self.nit = nit
+        self.rank_radio = rank_radio
+        self.eta = eta
+        self.log_gap = log_gap
+        self.lanczos_m = lanczos_m
+        self.use_bcsr = use_bcsr
+        self.nattempt = nattempt
+        self._key = jax.random.PRNGKey(seed)
+        self._ncall = 0
+        self._jit_cache = {}
+        self._bcsr = None
+        self._bcsr_for = None
+
+    def prepare(self, ell: EllState, S_csr=None, Q_csr=None, block: int = 128,
+                **bcsr_kw):
+        """Precompute BCSR operands for a state (once per instance)."""
+        if self.use_bcsr:
+            from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+            if S_csr is None:
+                raise ValueError("use_bcsr=True needs the scipy (S, Q) pair")
+            self._bcsr = bcsr_operands_from_state(S_csr, Q_csr, block=block,
+                                                  pad_rows_to=ell.Kp, **bcsr_kw)
+            self._bcsr_for = id(ell)
+        return self
+
+    def _d_pad_for(self, ell: EllState, Z: int):
+        _, ub = ell.degree_bounds()
+        zmax = max(int(Z), ub)
+        D_pad = ((zmax * self.rank_radio + 15) // 16) * 16
+        return D_pad, min(D_pad, ell.Kp - 1)
+
+    def _solver_fn(self, D_pad: int, rank_pad: int):
+        sig = (D_pad, rank_pad, self.nit, self.eta, self.rank_radio,
+               self.lanczos_m, self.log_gap, self.use_bcsr)
+        if sig not in self._jit_cache:
+            def fn(ell, Z, key, bcsr):
+                return mmw_solve_ell(ell, Z, nit=self.nit, eta=self.eta,
+                                     rank_radio=self.rank_radio, D_pad=D_pad,
+                                     rank_pad=rank_pad, key=key,
+                                     lanczos_m=self.lanczos_m,
+                                     log_gap=self.log_gap, bcsr=bcsr)
+            self._jit_cache[sig] = jax.jit(fn)
+        return self._jit_cache[sig]
+
+    def run_with_state(self, bs_iteration: int, Z: int, ell: EllState,
+                       D_pad: Optional[int] = None):
+        import numpy as np
+        tic = self._get_tic()
+        if D_pad is None:
+            D_pad, rank_pad = self._d_pad_for(ell, Z)
+        else:
+            rank_pad = min(D_pad, ell.Kp - 1)
+        bcsr = self._bcsr if (self.use_bcsr and self._bcsr_for == id(ell)) \
+            else None
+        if self.use_bcsr and bcsr is None:
+            raise RuntimeError("use_bcsr=True: call prepare(ell, S, Q) first")
+        fn = self._solver_fn(D_pad, rank_pad)
+        self._ncall += 1
+        key = jax.random.fold_in(self._key, self._ncall)
+        out = fn(ell, float(Z), key, bcsr)
+        tim = self._get_tim(tic, sync=out.X_half)
+        self._add_np_log("mmw_all_it", bs_iteration,
+                         np.array([Z, ell.K, tim]))
+        self.last_output = out
+        return True, out.X_half
+
+    def rounding(self, Z: int, gX, ell: EllState, nattempt: Optional[int] = None):
+        from sig_sdp_mmw_tpu.models.rounding_ell import rounding_ell
+        self._ncall += 1
+        key = jax.random.fold_in(self._key, 10_000_000 + self._ncall)
+        return rounding_ell(Z, gX, ell, key,
+                            nattempt=nattempt or self.nattempt)

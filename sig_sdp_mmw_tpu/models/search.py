@@ -34,10 +34,13 @@ class BinarySearchRelaxation(StatsObject):
         self.force_lower_bound = False
         self.force_full_bound = False
 
-    def set_bounds(self, state: SigState) -> Tuple[int, int]:
+    def set_bounds(self, state) -> Tuple[int, int]:
+        """Accepts any state container exposing ``degree_bounds()`` /
+        ``asso_lower_bound()`` — the dense :class:`SigState` and the sparse
+        :class:`sig_sdp_mmw_tpu.core.ell.EllState` both do, so one driver
+        serves the reference scale and the 100k+-link scale."""
         if self.force_lower_bound:
-            Q = np.asarray(state.Q)
-            lb = int((Q != 0).sum(axis=1).max()) + 1
+            lb = state.asso_lower_bound()
             return lb, lb
         if self.force_full_bound:
             return 1, state.K

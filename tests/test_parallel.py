@@ -93,6 +93,7 @@ def test_graph_sharded_ell_solve(ref_state):
         q_cols=jax.device_put(ell.q_cols, row2),
         q_eidx=jax.device_put(ell.q_eidx, row2),
         q_mask=jax.device_put(ell.q_mask, row2),
+        q_gain=jax.device_put(ell.q_gain, row2),
         diag_S=jax.device_put(ell.diag_S, row1),
         h_max=jax.device_put(ell.h_max, row1),
         mask=jax.device_put(ell.mask, row1),
