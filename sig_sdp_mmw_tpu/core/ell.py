@@ -58,6 +58,12 @@ class EllState:
     h_max: jax.Array    # [Kp]
     mask: jax.Array     # [Kp] bool
     K: int = dataclasses.field(metadata=dict(static=True))
+    # Cached binary-search bounds, computed host-side at build time.  On a
+    # tunneled/remote device, pulling the ELL arrays back to host just to
+    # count degrees costs orders of magnitude more than the count itself;
+    # the builder already has the CSR matrices in host memory.  -1 = absent.
+    lb_cache: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    ub_cache: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def Kp(self) -> int:
@@ -80,6 +86,8 @@ class EllState:
         keeps an explicit stored zero on the diagonal, hence the +2 replicated
         from :meth:`sig_sdp_mmw_tpu.core.problem.SigState.degree_bounds`.
         """
+        if self.lb_cache >= 0 and self.ub_cache >= 0:
+            return self.lb_cache, self.ub_cache
         mask = np.asarray(self.mask)
         lb = self.asso_lower_bound()
         cat = np.concatenate([
@@ -95,6 +103,8 @@ class EllState:
 
     def asso_lower_bound(self) -> int:
         """lb = max association degree + 1 (``binary_search_relaxation.py:14-17``)."""
+        if self.lb_cache >= 0:
+            return self.lb_cache
         q_deg = np.asarray(self.q_mask).sum(axis=1)
         return int(q_deg[np.asarray(self.mask)].max(initial=0)) + 1
 
@@ -224,6 +234,22 @@ def ell_from_scipy(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
     mask = np.zeros(Kp, bool)
     mask[:K] = True
 
+    # Binary-search bounds from the host CSR — identical semantics to the
+    # array-based degree_bounds() fallback (which on a tunneled/remote device
+    # would pull every ELL array back to host just to count degrees).  The
+    # association pattern mirrors the q_* build exactly: both directions of
+    # the upper-triangular edges.
+    Qu_pat = scipy.sparse.triu(Q, k=1).tocsr()
+    Qb = (Qu_pat + Qu_pat.T).tocsr()
+    Qb.data = np.ones_like(Qb.data)
+    lb_cache = int(np.diff(Qb.indptr).max(initial=0)) + 1
+    Pp = St.copy()                     # St: nonzero off-diag pattern of S̃
+    Pp.data = np.ones_like(Pp.data)
+    U = (Pp + Pp.T + Qb).tocsr()       # structural union, all off-diagonal
+    ub_cache = int(np.diff(U.indptr).max(initial=0)) + 2
+    lb_cache = max(lb_cache, 2)
+    ub_cache = max(ub_cache, 2, lb_cache)
+
     return EllState(
         s_cols=jnp.asarray(s_cols), s_vals=jnp.asarray(s_vals),
         st_cols=jnp.asarray(st_cols), st_vals=jnp.asarray(st_vals),
@@ -232,7 +258,7 @@ def ell_from_scipy(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
         q_cols=jnp.asarray(q_cols), q_eidx=jnp.asarray(q_eidx),
         q_mask=jnp.asarray(q_mask), q_gain=jnp.asarray(q_gain),
         diag_S=jnp.asarray(diag_S), h_max=jnp.asarray(hm),
-        mask=jnp.asarray(mask), K=K)
+        mask=jnp.asarray(mask), K=K, lb_cache=lb_cache, ub_cache=ub_cache)
 
 
 def ell_from_sig_state(state) -> EllState:

@@ -38,62 +38,85 @@ from sig_sdp_mmw_tpu.utils.stats import StatsObject
 _PREC = lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("nit", "rank_pad"))
-def admm_sdp_solve(state: SigState, Z, *, nit: int, rank_pad: int):
+@functools.partial(jax.jit, static_argnames=("nit", "rank_pad", "rank_radio"))
+def admm_sdp_solve(state: SigState, Z, *, nit: int, rank_pad: int,
+                   rank_radio: int = 2):
+    """Consensus ADMM over four constraint blocks, each with an EXACT
+    Euclidean projection — the inexactness that stalls a naive two-block
+    Douglas-Rachford split is avoided by giving every family its own
+    consensus copy:
+
+    1. symmetric PSD cone (eigh clip of the symmetrized copy — the nearest
+       symmetric-PSD matrix to an arbitrary square matrix);
+    2. ``diag(X) = 1`` (affine: replace the diagonal);
+    3. association cap ``X_ij <= -1/(Z-1)`` (pointwise min, both triangles);
+    4. interference row halfspaces ``<St_k, X_k> <= c_k`` — with symmetry
+       held by block 1, row constraints touch disjoint coordinates, so the
+       joint projection is the per-row halfspace formula, exactly.
+
+    Consensus ADMM over an intersection of closed convex sets converges to a
+    feasible point whenever the SDP is feasible, which is the oracle property
+    the binary search consumes (reference ``sdp_solver.py:115-163``).
+    """
     Kp = state.Kp
     K = state.K
     dtype = state.S.dtype
     Zf = jnp.asarray(Z, dtype)
     op = build_mmw_operands(state, Zf)
 
-    eye = jnp.eye(Kp, dtype=dtype)
+    eyeb = jnp.eye(Kp, dtype=bool)
     m2 = op.mask[:, None] & op.mask[None, :]
     asso = (state.Q != 0) & m2
     fbound = -1.0 / (Zf - 1.0)
+    diag_target = jnp.where(op.mask, 1.0, 0.0)
 
     St = op.St
     St_norm2 = jnp.maximum(jnp.sum(St * St, axis=1), 1e-12)   # [Kp]
     c_H = (op.h_max - op.S_sum / Zf) * Zf / (Zf - 1.0)        # row budgets
 
-    def proj_poly(X):
-        # Diagonal pinning (const_D).
-        X = jnp.where(jnp.eye(Kp, dtype=bool),
-                      jnp.where(op.mask, 1.0, 0.0)[None, :] * eye, X)
-        # Association cap (const_F), symmetric.
-        X = jnp.where(asso, jnp.minimum(X, fbound), X)
-        # Interference rows (const_H): Cimmino-averaged halfspace projections.
-        v = jnp.sum(St * X, axis=1)                            # [Kp]
-        excess = jnp.maximum(v - c_H, 0.0)
-        corr = (excess / St_norm2)[:, None] * St               # [Kp, Kp]
-        X = X - corr
-        X = 0.5 * (X + X.T)
-        X = jnp.where(m2, X, 0.0)
-        return X
-
     def proj_psd(X):
-        w, V = jnp.linalg.eigh(X)
+        Xs = 0.5 * (X + X.T)
+        w, V = jnp.linalg.eigh(Xs)
         w = jnp.maximum(w, 0.0)
         return (V * w[None, :]) @ V.T
 
+    def proj_diag(X):
+        return jnp.where(eyeb, diag_target[None, :] * jnp.eye(Kp, dtype=dtype),
+                         X)
+
+    def proj_asso(X):
+        return jnp.where(asso, jnp.minimum(X, fbound), X)
+
+    def proj_interf(X):
+        v = jnp.sum(St * X, axis=1)                            # [Kp]
+        excess = jnp.maximum(v - c_H, 0.0)
+        return X - (excess / St_norm2)[:, None] * St
+
+    projs = (proj_psd, proj_diag, proj_asso, proj_interf)
+    nb = len(projs)
+
+    X0 = jnp.where(eyeb, 1.0, 0.0) * diag_target[None, :]
+    X0 = X0.astype(dtype)
+
     def body(i, carry):
-        Xv, Y, U = carry
-        Xv = proj_psd(Y - U)
-        Y = proj_poly(Xv + U)
-        U = U + Xv - Y
-        return Xv, Y, U
+        Xbar, Us = carry
+        Zs = [p(Xbar - U) for p, U in zip(projs, Us)]
+        Xbar_new = sum(Zi + Ui for Zi, Ui in zip(Zs, Us)) / nb
+        Xbar_new = jnp.where(m2, Xbar_new, 0.0)
+        Us_new = tuple(U + Zi - Xbar_new for U, Zi in zip(Us, Zs))
+        return Xbar_new, Us_new
 
-    X0 = jnp.where(jnp.eye(Kp, dtype=bool), 1.0, 0.0) * \
-        jnp.where(op.mask, 1.0, 0.0)[None, :]
-    Xv, Y, U = lax.fori_loop(0, nit, body,
-                             (X0, X0, jnp.zeros((Kp, Kp), dtype)))
+    Us0 = tuple(jnp.zeros((Kp, Kp), dtype) for _ in range(nb))
+    Xbar, _ = lax.fori_loop(0, nit, body, (X0, Us0))
 
-    X_final = 0.5 * (Xv + Y)
+    X_final = proj_psd(Xbar)
     # Rank-trimmed factor (sdp_solver.py:130-132) via eigh (X ~ PSD here).
     w, V = jnp.linalg.eigh(X_final)
     order = jnp.argsort(-jnp.abs(w))[:rank_pad]
     w_sel = jnp.abs(w[order])
+    # min(K, (Z-1)*rank_radio) exactly as the reference (sdp_solver.py:131).
     rank_act = jnp.minimum(jnp.asarray(K, jnp.int32),
-                           ((Zf - 1.0) * 2).astype(jnp.int32))
+                           ((Zf - 1.0) * rank_radio).astype(jnp.int32))
     keep = (jnp.arange(rank_pad) < rank_act)[None, :]
     X_half = jnp.where(keep, V[:, order] * jnp.sqrt(w_sel)[None, :], 0.0)
     X_half = jnp.where(op.mask[:, None], X_half, 0.0)
@@ -117,7 +140,8 @@ class ADMMSDPSolver(SDPSolverBase, StatsObject):
 
         tic = self._get_tic()
         X_half, _ = admm_sdp_solve(state, float(Z), nit=self.nit,
-                                   rank_pad=rank_pad)
+                                   rank_pad=rank_pad,
+                                   rank_radio=self.rank_radio)
         tim = self._get_tim(tic, sync=X_half)
         self._add_np_log("admm_solve", bs_iteration,
                          np.array([Z, state.K, tim]))

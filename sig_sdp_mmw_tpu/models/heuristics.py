@@ -29,11 +29,17 @@ from sig_sdp_mmw_tpu.models.rounding import _default_z_pad
 from sig_sdp_mmw_tpu.utils.stats import StatsObject
 
 
-@functools.partial(jax.jit, static_argnames=("Z_pad",))
-def _greedy_pack_slot_major(state: SigState, scores, Z, key, Z_pad: int):
+@functools.partial(jax.jit, static_argnames=("Z_pad", "nattempt"))
+def _greedy_pack_slot_major(state: SigState, scores, Z, key, Z_pad: int,
+                            nattempt: int = 1):
     """Slot-by-slot packing: for each slot, scan users in decreasing score
     order and add each one that passes the interference + association checks
-    against the slot's current members (``gm.py:24-58``)."""
+    against the slot's current members (``gm.py:24-58``).
+
+    ``nattempt``: per-slot retry loop keeping the longest packing
+    (``gm.py:29-53``).  Faithful to the reference, where the rank is
+    deterministic, so every attempt coincides — the knob exists for parity
+    and for score functions that may one day be stochastic."""
     Kp = state.Kp
     dtype = state.S.dtype
     eye = jnp.eye(Kp, dtype=bool)
@@ -61,10 +67,28 @@ def _greedy_pack_slot_major(state: SigState, scores, Z, key, Z_pad: int):
             slot_of = slot_of.at[k].set(jnp.where(take, jnp.int32(z), slot_of[k]))
             return gain_sum, asso_sum, slot_of
 
-        _, _, slot_of = lax.fori_loop(
-            0, state.K, user_step,
-            (jnp.zeros((Kp,), dtype), jnp.zeros((Kp,), dtype), slot_of))
-        return slot_of
+        def one_attempt(slot_of_in):
+            _, _, out = lax.fori_loop(
+                0, state.K, user_step,
+                (jnp.zeros((Kp,), dtype), jnp.zeros((Kp,), dtype), slot_of_in))
+            return out
+
+        if nattempt == 1:
+            return one_attempt(slot_of)
+
+        # gm.py:29-53: keep the attempt packing the most users into slot z
+        # (strict >, so ties keep the earliest attempt).
+        def attempt_step(n, best):
+            best_slot_of, best_count = best
+            cand = one_attempt(slot_of)
+            count = jnp.sum((cand == z) & (slot_of != z), dtype=jnp.int32)
+            better = count > best_count
+            return (jnp.where(better, cand, best_slot_of),
+                    jnp.maximum(count, best_count))
+
+        best_slot_of, _ = lax.fori_loop(
+            0, nattempt, attempt_step, (slot_of, jnp.int32(-1)))
+        return best_slot_of
 
     slot_of = lax.fori_loop(0, Z_pad, slot_step, jnp.full((Kp,), -1, jnp.int32))
 
@@ -117,7 +141,8 @@ class _SlotMajorHeuristic(StatsObject):
             Z_pad = ((Z + 15) // 16) * 16
         key = jax.random.PRNGKey(cls._seed)
         z_vec, ZZ, rem = _greedy_pack_slot_major(
-            state, cls._scores(state), jnp.int32(Z), key, Z_pad=Z_pad)
+            state, cls._scores(state), jnp.int32(Z), key, Z_pad=Z_pad,
+            nattempt=nattempt)
         return np.asarray(z_vec)[: state.K], int(ZZ), int(rem)
 
 

@@ -56,12 +56,20 @@ def lrp_solve(state: SigState, Z, *, nit: int, Z_pad: int):
         colsum = jnp.sum(jnp.where(valid, P, 0.0), axis=0)
         P = P + jnp.where(valid, (1.0 - colsum)[None, :] / jnp.maximum(Zf, 1.0), 0.0)
         P = jnp.clip(P, 0.0, 1.0)
-        # Association pairs: P_zi + P_zj <= 1, averaged over each user's pairs.
-        Pe = P @ asso.astype(dtype)                          # [Z_pad, Kp]: sum over partners
-        deg = jnp.maximum(jnp.sum(asso, axis=1).astype(dtype), 1.0)
-        # For each (z, i): mean excess over partners j.
-        excess = jnp.maximum(P + Pe - 1.0, 0.0)              # crude pairwise bound
-        P = P - jnp.where(valid, excess / (deg[None, :] + 1.0), 0.0)
+        # Association pairs: P_zi + P_zj <= 1 — exact per-pair halfspace
+        # projections, Cimmino-averaged per user (``lrp.py:46``).  Each
+        # violated pair's projection moves both endpoints by excess/2; user
+        # i receives the convex combination over its deg_i pairs (averaged
+        # projections are Fejer-monotone, so the POCS sweep converges).
+        assoF = asso.astype(dtype)
+        deg = jnp.maximum(jnp.sum(assoF, axis=1), 1.0)
+
+        def pair_corr(Pz):
+            E = jnp.maximum(Pz[:, None] + Pz[None, :] - 1.0, 0.0) * assoF
+            return jnp.sum(E, axis=1) / (2.0 * deg)
+
+        corr = lax.map(pair_corr, P)                         # [Z_pad, Kp]
+        P = P - jnp.where(valid, corr, 0.0)
         P = jnp.clip(P, 0.0, 1.0)
         # Interference big-M rows: halfspace corrections, Cimmino-averaged.
         v = P @ StT + P * a_diag[None, :] - op.S_sum[None, :]  # [Z_pad, Kp]
@@ -74,6 +82,36 @@ def lrp_solve(state: SigState, Z, *, nit: int, Z_pad: int):
     P0 = jnp.where(valid, 1.0 / jnp.maximum(Zf, 1.0), 0.0)
     P = lax.fori_loop(0, nit, lambda i, P: proj(P), P0)
     return P
+
+
+def lrp_residuals(state: SigState, P, Z) -> dict:
+    """Feasibility residuals of P against the reference LP constraint system
+    (``lrp.py:41-51``), max-norm per family.  Host-side diagnostic used by
+    the residual tests (and by anyone validating the projection solver)."""
+    P = np.asarray(P, np.float64)
+    K = int(state.K)
+    Zi = int(Z)
+    Pa = P[:Zi, :K]
+
+    box = max(float(np.max(-Pa, initial=0.0)),
+              float(np.max(Pa - 1.0, initial=0.0)))
+    colsum = float(np.max(np.abs(Pa.sum(axis=0) - 1.0)))
+
+    Q = np.asarray(state.Q, np.float64)[:K, :K]
+    ii, jj = np.nonzero(Q)
+    pair = float(np.max(Pa[:, ii] + Pa[:, jj] - 1.0, initial=0.0))
+
+    S = np.asarray(state.S, np.float64)[:K, :K].copy()
+    np.fill_diagonal(S, 0.0)
+    St = (S - S * (Q != 0)).T                 # S̃ rows as the LP uses them
+    S_sum = St.sum(axis=1)
+    h = np.asarray(state.h_max, np.float64)[:K]
+    # (P S̃ᵀ)_zk <= P_zk (h_k - S_sum_k) + S_sum_k, relative to the row scale.
+    lhs = Pa @ St.T
+    rhs = Pa * (h - S_sum)[None, :] + S_sum[None, :]
+    scale = np.maximum(np.abs(h - S_sum) + S_sum, 1e-12)
+    interf = float(np.max((lhs - rhs) / scale[None, :], initial=0.0))
+    return {"box": box, "colsum": colsum, "pair": pair, "interf": interf}
 
 
 class LRPSolver(StatsObject):

@@ -431,15 +431,21 @@ class MMWEll(_StatsObject):
             from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
             if S_csr is None:
                 raise ValueError("use_bcsr=True needs the scipy (S, Q) pair")
+            # Block rows are padded to the block lcm internally (>= ell.Kp);
+            # mmw_solve_ell pads/crops V between the two layouts.
             self._bcsr = bcsr_operands_from_state(S_csr, Q_csr, block=block,
-                                                  pad_rows_to=ell.Kp, **bcsr_kw)
+                                                  **bcsr_kw)
             self._bcsr_for = id(ell)
         return self
 
     def _d_pad_for(self, ell: EllState, Z: int):
-        _, ub = ell.degree_bounds()
-        zmax = max(int(Z), ub)
-        D_pad = ((zmax * self.rank_radio + 15) // 16) * 16
+        # Sketch width tracks the probe's Z (D = Z*rank_radio active columns,
+        # mmw.py:180), bucketed to powers of two so a binary search compiles
+        # O(log) executables instead of one per mid — and never pays the
+        # window upper bound's width on every probe.
+        need = max(32, int(Z) * self.rank_radio)
+        D_pad = 1 << (need - 1).bit_length()
+        D_pad = min(D_pad, ((ell.Kp - 1) // 16) * 16 or 16)
         return D_pad, min(D_pad, ell.Kp - 1)
 
     def _solver_fn(self, D_pad: int, rank_pad: int):

@@ -146,14 +146,83 @@ def default_z_pad_ell(ell: EllState) -> int:
     return ((ub + 15) // 16) * 16
 
 
+@functools.partial(jax.jit, static_argnames=("Z_pad",))
+def _rounding_single_ell(ell: EllState, gX, Z, key, Z_pad: int):
+    """One attempt + random fallback — the sequential-retry building block."""
+    rv = jax.random.normal(key, (Z_pad, gX.shape[1]), ell.s_vals.dtype)
+    active = jnp.any(gX != 0.0, axis=0)[None, :]
+    rv = jnp.where(active, rv, 0.0)
+    rn = jnp.linalg.norm(rv, axis=1, keepdims=True)
+    rv = jnp.where(rn > 0, rv / jnp.where(rn > 0, rn, 1.0), 0.0)
+    slot_of, rem, asn = _one_attempt_ell(ell, gX, rv, Z, Z_pad)
+    fkey = jax.random.fold_in(key, 99)
+    fill = jax.random.randint(fkey, (ell.Kp,), 0, jnp.maximum(Z, 1), jnp.int32)
+    z_vec = jnp.where(asn, slot_of, fill)
+    z_vec = jnp.where(ell.mask, z_vec, 0)
+    return z_vec, rem
+
+
+# Above this row count the [nattempt, Z_pad, Kp] batched-attempt buffers (and
+# the 10x-replicated greedy program) overwhelm single-chip HBM; sequential
+# retries also early-exit on the first feasible attempt, exactly like the
+# reference loop (sdp_solver.py:18-25).
+_BATCH_ATTEMPT_MAX_KP = 16384
+
+
 def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,
-                 Z_pad: int = None) -> Tuple[np.ndarray, int, int]:
-    """Reference-compatible entry (``sdp_solver.py:18``) on the ELL state."""
+                 Z_pad: int = None, batch_attempts: bool = None
+                 ) -> Tuple[np.ndarray, int, int]:
+    """Reference-compatible entry (``sdp_solver.py:18``) on the ELL state.
+
+    ``batch_attempts``: run all ``nattempt`` attempts as one vmapped device
+    program (fast at small K) vs. a host retry loop with first-success exit
+    (the reference's own control flow; the memory-lean large-K default).
+    """
     if Z_pad is None:
         Z_pad = default_z_pad_ell(ell)
-    z_vec, rem = _rounding_batch_ell(ell, jnp.asarray(gX), jnp.int32(Z), key,
-                                     Z_pad=Z_pad, nattempt=nattempt)
-    return np.asarray(z_vec)[: ell.K], Z, int(rem)
+    if batch_attempts is None:
+        batch_attempts = ell.Kp <= _BATCH_ATTEMPT_MAX_KP
+    gX = jnp.asarray(gX)
+    if batch_attempts:
+        z_vec, rem = _rounding_batch_ell(ell, gX, jnp.int32(Z), key,
+                                         Z_pad=Z_pad, nattempt=nattempt)
+        return np.asarray(z_vec)[: ell.K], Z, int(rem)
+
+    for a in range(nattempt):
+        akey = jax.random.fold_in(key, a)
+        z_vec, rem = _rounding_single_ell(ell, gX, jnp.int32(Z), akey,
+                                          Z_pad=Z_pad)
+        rem = int(rem)
+        if rem == 0:
+            break
+    return np.asarray(z_vec)[: ell.K], Z, rem
+
+
+def verify_assignment_csr(S_csr, Q_csr, h_max, z_vec) -> Tuple[bool, int, int]:
+    """Independent O(nnz) feasibility checker on the host CSR state.
+
+    Same semantics as :func:`verify_assignment_ell` /
+    :func:`sig_sdp_mmw_tpu.models.rounding.verify_assignment` (interference
+    load at user j = sum of same-slot S[k, j] over k != j vs ``h_max[j]``;
+    association violation = same-slot associated pair), but consuming the
+    scipy matrices directly — no device arrays touched, so it is the right
+    verifier when the solver state lives on a remote/tunneled device.
+    """
+    S = S_csr.tocoo()
+    z = np.asarray(z_vec).astype(np.int64)
+    K = S.shape[0]
+    h = np.asarray(h_max, np.float64)
+
+    offd = S.row != S.col
+    same = offd & (z[S.row] == z[S.col])
+    load = np.zeros(K, np.float64)
+    np.add.at(load, S.col[same], S.data[same].astype(np.float64))
+    n_interf = int(np.sum(load > h))
+
+    Qc = Q_csr.tocoo()
+    qoff = (Qc.row != Qc.col) & (Qc.data != 0)
+    n_asso = int(np.sum(qoff & (z[Qc.row] == z[Qc.col])) // 2)
+    return (n_interf == 0 and n_asso == 0), n_interf, n_asso
 
 
 def verify_assignment_ell(ell: EllState, z_vec) -> Tuple[bool, int, int]:

@@ -175,7 +175,7 @@ class BcsrOperands:
     st_blocks: Optional[BlockEll]
     g_src: jax.Array     # [maxblk, max_e] int32
     g_dst: jax.Array     # [maxblk, max_e] int32 (nnz = sink)
-    w_edge: jax.Array    # [nnz] f32
+    w_edge: jax.Array    # [nnz] f32 or weights_dtype (values exactly 1.0/0.5)
     s_pos: jax.Array     # [nnz] int32
     q_bcols: jax.Array   # [Kbr, maxblkQ] int32
     q_pos: jax.Array     # [2E] int32 flat positions into the q block array

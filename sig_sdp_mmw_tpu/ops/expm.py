@@ -77,23 +77,17 @@ def _expm_e1_batched_sym(T: jax.Array, norm_bound: float,
     return E[:, :, 0], sigma
 
 
-def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
-                          reorth: bool = True,
-                          small_method: str = "eigh",
-                          norm_bound: float = None) -> Tuple[jax.Array, jax.Array]:
-    """``expm(A) @ V ~= exp(sigma) * F`` via m-step batched Lanczos.
+def lanczos_tridiag(matvec: MatVec, V: jax.Array, m: int, reorth: bool = True
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The shared m-step batched Lanczos recurrence.
 
-    Args:
-      matvec: applies the symmetric operator A to a [K, D] block.
-      V: [K, D] block of vectors.
-      m: static Krylov dimension.
-      reorth: full re-orthogonalization against the stored basis (cheap at
-        these sizes; essential in fp32).
-
-    Returns:
-      (F, sigma): F is [K, D]; sigma is the scalar log-scale, i.e.
-      ``expm(A) @ V = exp(sigma) * F`` (same sigma for every column, so
-      cross-column inner products of F are consistently scaled).
+    Runs all D columns of V simultaneously (each matvec is a [K, D] block
+    apply) and returns ``(Q, alphas, betas, beta0)``: the Krylov bases
+    [m, K, D], the tridiagonal coefficients [m, D] (betas[j] couples q_j and
+    q_{j+1}), and the initial column norms [D].  Consumed by
+    :func:`lanczos_expm_multiply` (action of the exponential) and
+    :func:`sig_sdp_mmw_tpu.ops.lanczos.lanczos_extreme_eigs` (Ritz extreme
+    eigenvalues) — one recurrence, two small-space post-processings.
     """
     K, D = V.shape
     dtype = V.dtype
@@ -130,7 +124,28 @@ def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
 
     init = (Q0, jnp.zeros_like(q0), q0, jnp.zeros((D,), dtype))
     (Q, _, _, _), (alphas, betas) = jax.lax.scan(body, init, jnp.arange(m))
-    # alphas: [m, D]; betas: [m, D] (betas[j] couples q_j and q_{j+1}).
+    return Q, alphas, betas, beta0
+
+
+def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
+                          reorth: bool = True,
+                          small_method: str = "eigh",
+                          norm_bound: float = None) -> Tuple[jax.Array, jax.Array]:
+    """``expm(A) @ V ~= exp(sigma) * F`` via m-step batched Lanczos.
+
+    Args:
+      matvec: applies the symmetric operator A to a [K, D] block.
+      V: [K, D] block of vectors.
+      m: static Krylov dimension.
+      reorth: full re-orthogonalization against the stored basis (cheap at
+        these sizes; essential in fp32).
+
+    Returns:
+      (F, sigma): F is [K, D]; sigma is the scalar log-scale, i.e.
+      ``expm(A) @ V = exp(sigma) * F`` (same sigma for every column, so
+      cross-column inner products of F are consistently scaled).
+    """
+    Q, alphas, betas, beta0 = lanczos_tridiag(matvec, V, m, reorth=reorth)
 
     a = alphas.T                                              # [D, m]
     b = betas.T[:, : m - 1]                                   # [D, m-1]

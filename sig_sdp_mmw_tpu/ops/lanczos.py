@@ -6,6 +6,10 @@ calls (duality-gap lower bound ``sim_src/alg/mmw.py:115``, X sanity check
 jittable m-step Lanczos whose Ritz values bracket the spectrum.  No adaptive
 convergence test — m is static; Ritz extreme values converge geometrically so
 m ~ 32 is ample at reference scales.
+
+The recurrence itself is the shared batched Lanczos of
+:func:`sig_sdp_mmw_tpu.ops.expm.lanczos_tridiag` (one implementation serves
+both the exponential action and the eigenvalue estimates).
 """
 
 from __future__ import annotations
@@ -15,39 +19,18 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from sig_sdp_mmw_tpu.ops.expm import lanczos_tridiag
+
 
 def lanczos_extreme_eigs(matvec: Callable[[jax.Array], jax.Array], key: jax.Array,
                          n: int, m: int = 32, dtype=jnp.float32
                          ) -> Tuple[jax.Array, jax.Array]:
     """(lambda_min, lambda_max) Ritz estimates of a symmetric operator."""
     v = jax.random.normal(key, (n, 1), dtype=dtype)
-    from sig_sdp_mmw_tpu.ops.expm import lanczos_expm_multiply  # reuse recurrence
+    _, alphas, betas, _ = lanczos_tridiag(matvec, v, m, reorth=True)
 
-    # Run the shared batched-Lanczos recurrence by calling the internal scan
-    # indirectly: cheapest correct route is to re-run a tiny local recurrence.
-    eps = jnp.asarray(1e-30, dtype)
-    beta0 = jnp.linalg.norm(v)
-    q0 = v / jnp.maximum(beta0, eps)
-    Q0 = jnp.zeros((m, n, 1), dtype).at[0].set(q0)
-
-    def body(carry, j):
-        Q, q_prev, q, beta_prev = carry
-        w = matvec(q) - beta_prev * q_prev
-        alpha = jnp.sum(q * w)
-        w = w - alpha * q
-        proj = jnp.einsum("mkd,kd->md", Q, w)
-        proj = jnp.where((jnp.arange(m) <= j)[:, None], proj, 0.0)
-        w = w - jnp.einsum("mkd,md->kd", Q, proj)
-        beta = jnp.linalg.norm(w)
-        alive = beta > 1e-8
-        q_next = jnp.where(alive, w / jnp.maximum(beta, eps), 0.0)
-        beta = jnp.where(alive, beta, 0.0)
-        Q = jnp.where((jnp.arange(m) == j + 1)[:, None, None], q_next[None], Q)
-        return (Q, q, q_next, beta), (alpha, beta)
-
-    init = (Q0, jnp.zeros_like(q0), q0, jnp.asarray(0.0, dtype))
-    _, (alphas, betas) = jax.lax.scan(body, init, jnp.arange(m))
-
-    T = jnp.diag(alphas) + jnp.diag(betas[: m - 1], k=1) + jnp.diag(betas[: m - 1], k=-1)
+    a = alphas[:, 0]
+    b = betas[: m - 1, 0]
+    T = jnp.diag(a) + jnp.diag(b, k=1) + jnp.diag(b, k=-1)
     theta = jnp.linalg.eigvalsh(T)
     return theta[0], theta[-1]

@@ -19,22 +19,30 @@ def ref_state():
 
 
 def test_admm_oracle_constraints(ref_state):
-    """After enough iterations the ADMM X must approximately satisfy the SDP
-    constraints (diag ~ 1, association entries near the simplex bound, PSD)."""
+    """At high nit the consensus ADMM X must satisfy EVERY SDP constraint
+    family to ~1e-3 — oracle-quality feasibility, not ballpark."""
     state, Z = ref_state
     from sig_sdp_mmw_tpu.models.admm import admm_sdp_solve
 
-    X_half, X = admm_sdp_solve(state, float(Z), nit=300, rank_pad=32)
+    X_half, X = admm_sdp_solve(state, float(Z), nit=500, rank_pad=32)
     X = np.asarray(X, dtype=np.float64)
     K = state.K
     Xk = X[:K, :K]
 
-    np.testing.assert_allclose(np.diag(Xk), 1.0, atol=0.05)
+    np.testing.assert_allclose(np.diag(Xk), 1.0, atol=1e-3)
     Q = np.asarray(state.Q)[:K, :K] != 0
     bound = -1.0 / (Z - 1)
-    assert np.all(Xk[Q] <= bound + 0.05)
+    assert np.all(Xk[Q] <= bound + 1e-3)
+    # Interference rows (sdp_solver.py:158).
+    S = np.asarray(state.S, np.float64)[:K, :K].copy()
+    np.fill_diagonal(S, 0.0)
+    St = (S - S * Q).T
+    h = np.asarray(state.h_max, np.float64)[:K]
+    Ssum = St.sum(axis=1)
+    v = (St * Xk).sum(axis=1) - (h - Ssum / Z) * Z / (Z - 1)
+    assert v.max() <= 1e-3 * max(np.abs(h).max(), 1.0)
     ev = np.linalg.eigvalsh(0.5 * (Xk + Xk.T))
-    assert ev.min() > -0.05
+    assert ev.min() > -1e-3
 
 
 def test_admm_rounding_feasible(ref_state):
@@ -48,17 +56,31 @@ def test_admm_rounding_feasible(ref_state):
     assert ok, (ni, na)
 
 
+def test_lrp_solver_residuals(ref_state):
+    """The projection solver must actually solve the reference LP feasibility
+    system (lrp.py:41-51): every constraint-family residual <= 1e-3 at
+    nit=500, at the tight Z and at Z+2."""
+    from sig_sdp_mmw_tpu.models.lrp import lrp_residuals, lrp_solve
+
+    state, Z = ref_state
+    for Zp in (Z, Z + 2):
+        P = lrp_solve(state, float(Zp), nit=500, Z_pad=16)
+        res = lrp_residuals(state, np.asarray(P), Zp)
+        for fam, val in res.items():
+            assert val <= 1e-3, (Zp, fam, res)
+
+
 def test_lrp_solver_rounding(ref_state):
     state, Z = ref_state
-    alg = LRPSolver(nit=200)
+    alg = LRPSolver(nit=500)
     ok, P = alg.run_with_state(0, Z + 2, state)
     assert ok
     P_np = np.asarray(P)
     assert np.isfinite(P_np).all()
     assert P_np.min() >= 0.0 and P_np.max() <= 1.0
-    # Column sums approximately one for real users over active slots.
+    # Column sums one for real users over active slots (exact constraint).
     cs = P_np[:, : state.K].sum(axis=0)
-    assert abs(np.median(cs) - 1.0) < 0.2
+    np.testing.assert_allclose(cs, 1.0, atol=1e-3)
 
     z_vec, _, rem = alg.rounding(Z + 2, P, state)
     assert rem >= 0

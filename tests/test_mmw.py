@@ -47,7 +47,9 @@ def test_mmw_converges_to_reference_gap(ref_state, mmw_small_np):
     ref_gap = mmw_small_np["gap_log"]          # cols: g, it, t, UB, LB, UB-LB
     ref_ub_final = ref_gap[-1, 3]
     ub = float(out.ub_final)
-    assert ub < ref_ub_final + 0.15, (ub, ref_ub_final)
+    # Relative bound: no worse than 1.25x the reference's own final UB on the
+    # identical state at identical (Z, nit, eta).
+    assert ub < 1.25 * ref_ub_final, (ub, ref_ub_final)
 
     # UB telemetry decreases substantially from the X0=I start.
     ubs = np.asarray(out.gap_log[:, 0])
@@ -134,6 +136,17 @@ def test_max_rand_plumbing(ref_state):
     if rem == 0:
         ok, _, _ = verify_assignment(ref_state, z_vec)
         assert ok
+
+
+def test_heuristics_nattempt_matches_single(ref_state):
+    """gm.py:29-53: the per-slot attempt loop keeps the longest packing; with
+    a deterministic rank every attempt coincides, so nattempt>1 must return
+    exactly the nattempt=1 schedule (at nattempt x the work) — the
+    reference's own semantics."""
+    z1, Z1, r1 = MAX_GAIN.run(30, ref_state, nattempt=1)
+    z3, Z3, r3 = MAX_GAIN.run(30, ref_state, nattempt=3)
+    assert (Z1, r1) == (Z3, r3)
+    np.testing.assert_array_equal(z1, z3)
 
 
 def test_verify_assignment_detects_violations(ref_state):

@@ -1,0 +1,155 @@
+"""End-to-end large-K pipeline on the real chip (BASELINE.json config 4).
+
+Runs the complete reference contract — state generation -> binary search over
+Z (sparse MMW feasibility probes) -> randomized rounding -> independent
+feasibility verification -> BLER evaluation — entirely on the sparse path
+(EllState + optional BCSR block operands), i.e. without ever materializing a
+[K, K] matrix.  Reference semantics per phase:
+
+* bounds + search:   sim_src/alg/binary_search_relaxation.py:13-72
+* MMW feasibility:   sim_src/alg/mmw.py:44-222
+* greedy rounding:   sim_src/alg/sdp_solver.py:27-107
+* verification:      the rounding's own explicit checks, re-run independently
+* BLER evaluation:   sim_src/env/env.py:198-232 (sparse truncation + tail)
+
+Writes a JSON artifact (default E2E_LARGE.json at the repo root) with per-phase
+wall times and the end metrics, so the headline "the 100k-link pipeline runs
+end-to-end" is reproducible from a checked-in file.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import numpy as np
+
+print = functools.partial(print, flush=True)
+
+
+def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
+         block=128, out_path=None, use_bcsr=True, d_pad=None, platform=None):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    from sig_sdp_mmw_tpu.env.large import LargeEnv
+    from sig_sdp_mmw_tpu.models.mmw_ell import MMWEll
+    from sig_sdp_mmw_tpu.models.rounding_ell import verify_assignment_csr
+    from sig_sdp_mmw_tpu.models.search import BinarySearchRelaxation
+
+    rec = {"config": {"cell": cell, "rho": rho, "seed": seed, "nit": nit,
+                      "eta": eta, "nattempt": nattempt, "block": block,
+                      "use_bcsr": use_bcsr},
+           "device": str(jax.devices()[0]).split(":")[0],
+           "phases_s": {}}
+
+    t0 = time.time()
+    env = LargeEnv(cell, rho, seed=seed)
+    S, Q, h = env.generate_state_csr()
+    K = S.shape[0]
+    rec["K"] = K
+    rec["nnz_S"] = int(S.nnz)
+    rec["nnz_Q"] = int(Q.nnz)
+    rec["phases_s"]["generate"] = round(time.time() - t0, 2)
+    print(f"generate: K={K} nnz(S)={S.nnz} nnz(Q)={Q.nnz} "
+          f"[{rec['phases_s']['generate']}s]")
+
+    t0 = time.time()
+    ell = env.generate_ell()
+    ell = jax.device_put(ell)
+    jax.block_until_ready(ell.s_vals)
+    rec["phases_s"]["ell_build"] = round(time.time() - t0, 2)
+    print(f"ell build: degS={ell.s_cols.shape[1]} E_pad={ell.E_pad} "
+          f"Kp={ell.Kp} [{rec['phases_s']['ell_build']}s]")
+
+    alg = MMWEll(nit=nit, eta=eta, use_bcsr=use_bcsr, nattempt=nattempt,
+                 seed=seed)
+    if use_bcsr:
+        t0 = time.time()
+        alg.prepare(ell, S, Q, block=block)
+        alg._bcsr = jax.device_put(alg._bcsr)
+        jax.block_until_ready(alg._bcsr.s_blocks.blocks)
+        rec["phases_s"]["bcsr_build"] = round(time.time() - t0, 2)
+        print(f"bcsr build: Kb={alg._bcsr.s_blocks.Kb} "
+              f"[{rec['phases_s']['bcsr_build']}s]")
+
+    bs = BinarySearchRelaxation()
+    bs.feasibility_check_alg = alg
+
+    t0 = time.time()
+    lb, ub = bs.set_bounds(ell)
+    rec["lb"], rec["ub"] = lb, ub
+    rec["phases_s"]["bounds"] = round(time.time() - t0, 2)
+    print(f"bounds: lb={lb} ub={ub} [{rec['phases_s']['bounds']}s]")
+
+    if d_pad is not None:
+        # Cap the sketch width: D = Z*rank_radio columns are active per probe
+        # (mmw.py:180); the window upper bound would over-pad.
+        alg._d_pad_for = lambda e, Z: (d_pad, min(d_pad, e.Kp - 1))
+
+    t0 = time.time()
+    z_vec, Z_fin, rem = bs.run(ell)
+    rec["phases_s"]["search"] = round(time.time() - t0, 2)
+    rec["Z_fin"] = int(Z_fin)
+    rec["remainder"] = int(rem)
+    probes = np.asarray(alg.LOGGED_NP_DATA["mmw_all_it"])
+    rec["n_probes"] = int(probes.shape[0])
+    rec["solve_us_per_probe"] = [float(x) for x in probes[:, -1]]
+    print(f"search: Z={Z_fin} rem={rem} probes={rec['n_probes']} "
+          f"[{rec['phases_s']['search']}s]")
+
+    t0 = time.time()
+    # Host-CSR verifier: no device arrays touched (the ELL copy lives on a
+    # tunneled device whose host transfers are slow).
+    ok, n_interf, n_asso = verify_assignment_csr(S, Q, h, z_vec)
+    rec["phases_s"]["verify"] = round(time.time() - t0, 2)
+    rec["verified_feasible"] = bool(ok)
+    rec["n_interf_vio"] = int(n_interf)
+    rec["n_asso_vio"] = int(n_asso)
+    print(f"verify: ok={ok} interf_vio={n_interf} asso_vio={n_asso} "
+          f"[{rec['phases_s']['verify']}s]")
+
+    t0 = time.time()
+    bler = env.evaluate_bler(z_vec, int(Z_fin))
+    rec["phases_s"]["bler_eval"] = round(time.time() - t0, 2)
+    rec["bler_mean"] = float(np.mean(bler))
+    rec["bler_max"] = float(np.max(bler))
+    rec["bler_frac_above_1e-5"] = float(np.mean(bler > 1e-5))
+    print(f"bler: mean={rec['bler_mean']:.3e} max={rec['bler_max']:.3e} "
+          f"frac>1e-5={rec['bler_frac_above_1e-5']:.4f} "
+          f"[{rec['phases_s']['bler_eval']}s]")
+
+    rec["total_s"] = round(sum(rec["phases_s"].values()), 2)
+    out_path = out_path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "E2E_LARGE.json")
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {out_path} (total {rec['total_s']}s)")
+    return rec
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cell", type=int, default=183)
+    ap.add_argument("--rho", type=float, default=75e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nit", type=int, default=150)
+    ap.add_argument("--eta", type=float, default=0.05)
+    ap.add_argument("--nattempt", type=int, default=10)
+    ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--no-bcsr", action="store_true")
+    ap.add_argument("--d-pad", type=int, default=None)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="jax platform override (e.g. cpu)")
+    ap.add_argument("--out", type=str, default=None)
+    a = ap.parse_args()
+    main(a.cell, a.rho, a.seed, a.nit, a.eta, a.nattempt, a.block, a.out,
+         use_bcsr=not a.no_bcsr, d_pad=a.d_pad, platform=a.platform)
