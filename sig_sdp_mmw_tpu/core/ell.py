@@ -87,7 +87,7 @@ class EllState:
         from :meth:`sig_sdp_mmw_tpu.core.problem.SigState.degree_bounds`.
         """
         if self.lb_cache >= 0 and self.ub_cache >= 0:
-            return self.lb_cache, self.ub_cache
+            return max(self.lb_cache, 2), max(self.ub_cache, 2, self.lb_cache)
         mask = np.asarray(self.mask)
         lb = self.asso_lower_bound()
         cat = np.concatenate([
@@ -99,7 +99,7 @@ class EllState:
         distinct = (cat >= 0) & np.concatenate(
             [np.ones((cat.shape[0], 1), bool), cat[:, 1:] != cat[:, :-1]], axis=1)
         ub = int(distinct.sum(axis=1)[mask].max(initial=0)) + 2
-        return max(lb, 2), max(ub, 2)
+        return max(lb, 2), max(ub, 2, lb)
 
     def asso_lower_bound(self) -> int:
         """lb = max association degree + 1 (``binary_search_relaxation.py:14-17``)."""
@@ -247,8 +247,9 @@ def ell_from_scipy(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
     Pp.data = np.ones_like(Pp.data)
     U = (Pp + Pp.T + Qb).tocsr()       # structural union, all off-diagonal
     ub_cache = int(np.diff(U.indptr).max(initial=0)) + 2
-    lb_cache = max(lb_cache, 2)
-    ub_cache = max(ub_cache, 2, lb_cache)
+    # Caches store the UNCLAMPED reference bounds so asso_lower_bound() agrees
+    # between cached and array-fallback states; degree_bounds() applies the
+    # Z>=2 clamp (simplex encoding is singular at Z=1) at read time.
 
     return EllState(
         s_cols=jnp.asarray(s_cols), s_vals=jnp.asarray(s_vals),

@@ -43,34 +43,43 @@ class Controller(StatsObject):
         self.env: MobileEnv = None
         self.alg = None
 
-    def run(self, total_time_s: float, mob_spd_meter_s: float):
-        past_time_us = 0.0
-        process_time_us = []
-        total_pck = 0
-        total_packet_loss = 0
-
+    def _timed_solve(self):
+        """Solve on a fresh snapshot of the (moving) network; return the
+        schedule plus the solver's own wall-clock latency in µs."""
         tic = self._get_tic()
-        z_vec, Z_fin, remainder = self.alg.run(self.env.generate_S_Q_hmax())
-        tim_us = self._get_tim(tic)
-        for _ in range(self.env.get_n_period(Z_fin, tim_us)):
-            self.env.step_a_period(Z_fin, mob_spd_meter_s)
+        schedule = self.alg.run(self.env.generate_S_Q_hmax())
+        return schedule, self._get_tim(tic)
+
+    def run(self, total_time_s: float, mob_spd_meter_s: float):
+        deadline_us = total_time_s * 1e6
+        clock_us = 0.0
+        solve_latency_us: list = []
+        pkts_sent = 0
+        pkts_lost = 0
+
+        # Warm-up solve: no schedule exists yet, so the network just drifts
+        # for as many periods as the solve took (no packets are charged).
+        (active_z, active_Z, _), latency_us = self._timed_solve()
+        for _ in range(self.env.get_n_period(active_Z, latency_us)):
+            self.env.step_a_period(active_Z, mob_spd_meter_s)
 
         while True:
-            tic = self._get_tic()
-            z_next, Z_next, rem_next = self.alg.run(self.env.generate_S_Q_hmax())
-            tim_us = self._get_tim(tic)
-            process_time_us.append(tim_us)
+            # Kick off the next solve; while it "runs", the network keeps
+            # serving traffic under the (increasingly stale) active schedule.
+            (next_z, next_Z, _), latency_us = self._timed_solve()
+            solve_latency_us.append(latency_us)
 
-            for _ in range(self.env.get_n_period(Z_fin, tim_us)):
-                pckl = self.env.evaluate_pckl(z_vec, Z_fin)
-                total_packet_loss += int(np.sum(pckl))
-                total_pck += self.env.n_sta
-                self.env.step_a_period(Z_fin, mob_spd_meter_s)
-                past_time_us += self.env.get_period_time_us(Z_fin)
+            # The period length is set by the ACTIVE schedule's Z — the next
+            # schedule only takes effect once its solve completes.
+            for _ in range(self.env.get_n_period(active_Z, latency_us)):
+                pckl = self.env.evaluate_pckl(active_z, active_Z)
+                pkts_lost += int(np.sum(pckl))
+                pkts_sent += self.env.n_sta
+                self.env.step_a_period(active_Z, mob_spd_meter_s)
+                clock_us += self.env.get_period_time_us(active_Z)
 
-            if total_time_s * 1e6 < past_time_us:
+            if clock_us > deadline_us:
                 break
+            active_z, active_Z = next_z, next_Z
 
-            z_vec, Z_fin, remainder = z_next, Z_next, rem_next
-
-        return total_packet_loss, total_pck, past_time_us, process_time_us
+        return pkts_lost, pkts_sent, clock_us, solve_latency_us

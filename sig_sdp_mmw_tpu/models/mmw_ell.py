@@ -117,7 +117,11 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
               + jnp.abs(ell.h_max / K - S_sum / (K * Zf)))
     norm_H = jnp.where(ell.mask & (norm_H > 0), norm_H, 1.0)
 
-    D_act = (Zf * rank_radio).astype(jnp.int32)
+    # Sketch width D = Z*rank_radio (mmw.py:180), explicitly clamped to the
+    # padded width: when the cap in _d_pad_for binds (Z*rank_radio > D_pad),
+    # the sketch is deliberately truncated to D_pad columns — D ~ K Gaussian
+    # probes already capture the full spectrum, so nothing is lost.
+    D_act = jnp.minimum((Zf * rank_radio).astype(jnp.int32), D_pad)
     col_mask = (jnp.arange(D_pad) < D_act)[None, :]
 
     cF = 1.0 / (0.5 + 1.0 / (K * (Zf - 1.0)))
@@ -435,6 +439,12 @@ class MMWEll(_StatsObject):
             # mmw_solve_ell pads/crops V between the two layouts.
             self._bcsr = bcsr_operands_from_state(S_csr, Q_csr, block=block,
                                                   **bcsr_kw)
+            if self._bcsr.s_blocks.nrows < ell.Kp:
+                raise ValueError(
+                    f"BCSR row padding ({self._bcsr.s_blocks.nrows}) is "
+                    f"smaller than the EllState padding (Kp={ell.Kp}); "
+                    f"rebuild the EllState with the default pad_rows_to or "
+                    f"pass pad_rows_to={ell.Kp} to bcsr_operands_from_state")
             self._bcsr_for = id(ell)
         return self
 
@@ -445,7 +455,14 @@ class MMWEll(_StatsObject):
         # window upper bound's width on every probe.
         need = max(32, int(Z) * self.rank_radio)
         D_pad = 1 << (need - 1).bit_length()
-        D_pad = min(D_pad, ((ell.Kp - 1) // 16) * 16 or 16)
+        # Cap at Kp-1 rounded down to a lane multiple (a wider sketch than the
+        # matrix order buys nothing); for tiny Kp<=16 fall back to Kp-1 rather
+        # than a 16-wide sketch that would exceed the matrix order.
+        cap = ((ell.Kp - 1) // 16) * 16
+        if cap == 0:
+            cap = max(ell.Kp - 1, 1)
+        if D_pad > cap:
+            D_pad = cap  # binds only when Z*rank_radio ~ K; see D_act clamp
         return D_pad, min(D_pad, ell.Kp - 1)
 
     def _solver_fn(self, D_pad: int, rank_pad: int):

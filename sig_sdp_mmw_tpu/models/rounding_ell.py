@@ -219,9 +219,15 @@ def verify_assignment_csr(S_csr, Q_csr, h_max, z_vec) -> Tuple[bool, int, int]:
     np.add.at(load, S.col[same], S.data[same].astype(np.float64))
     n_interf = int(np.sum(load > h))
 
+    # Count association violations on the upper triangle of the symmetrized
+    # pattern, so a Q that stores only one triangle still counts each
+    # violated pair exactly once.
     Qc = Q_csr.tocoo()
     qoff = (Qc.row != Qc.col) & (Qc.data != 0)
-    n_asso = int(np.sum(qoff & (z[Qc.row] == z[Qc.col])) // 2)
+    lo = np.minimum(Qc.row[qoff], Qc.col[qoff]).astype(np.int64)
+    hi = np.maximum(Qc.row[qoff], Qc.col[qoff]).astype(np.int64)
+    pairs = np.unique(lo * K + hi)
+    n_asso = int(np.sum(z[pairs // K] == z[pairs % K]))
     return (n_interf == 0 and n_asso == 0), n_interf, n_asso
 
 

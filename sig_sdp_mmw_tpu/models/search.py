@@ -88,7 +88,7 @@ class BinarySearchRelaxation(StatsObject):
                 left += 1
                 right += 1
 
-            self._printalltime(left, right, mid, Z, rem, "++++++++++++++++++++")
+            self._printalltime(f"bs window=[{left},{right}] mid={mid} Z={Z} rem={rem}")
             if to_break:
                 break
         return Z, z_vec, rem, it

@@ -47,9 +47,10 @@ def test_mmw_converges_to_reference_gap(ref_state, mmw_small_np):
     ref_gap = mmw_small_np["gap_log"]          # cols: g, it, t, UB, LB, UB-LB
     ref_ub_final = ref_gap[-1, 3]
     ub = float(out.ub_final)
-    # Relative bound: no worse than 1.25x the reference's own final UB on the
-    # identical state at identical (Z, nit, eta).
-    assert ub < 1.25 * ref_ub_final, (ub, ref_ub_final)
+    # Bound: no worse than 1.25x the reference's own final UB on the
+    # identical state at identical (Z, nit, eta) — with an absolute +0.15
+    # ceiling so the guard stays tight if a future fixture has a large UB.
+    assert ub < min(1.25 * ref_ub_final, ref_ub_final + 0.15), (ub, ref_ub_final)
 
     # UB telemetry decreases substantially from the X0=I start.
     ubs = np.asarray(out.gap_log[:, 0])
