@@ -56,6 +56,47 @@ def test_admm_rounding_feasible(ref_state):
     assert ok, (ni, na)
 
 
+def test_admm_oracle_decisions_cross_checked(ref_state):
+    """Decision-level oracle validation on the fixture's search window
+    (VERDICT r2 #1c): at every probed Z the ADMM oracle's feasible/infeasible
+    verdict must be corroborated by the MMW solver — an oracle-infeasible Z
+    must carry an MMW infeasibility certificate (duality-gap LB > 0) or an
+    MMW rounding failure, and an oracle-feasible Z must never be contradicted
+    by a positive MMW LB certificate.  This is the check that would catch a
+    systematically optimistic or pessimistic oracle, which residual tests
+    (above) cannot."""
+    import jax
+
+    from sig_sdp_mmw_tpu.models import MMW
+
+    state, Z_fin = ref_state
+    from sig_sdp_mmw_tpu.models.admm import admm_sdp_solve
+
+    eps = 1e-2  # certificate threshold on the (scaled) max-violation LB
+    for Z in range(max(2, Z_fin - 3), Z_fin + 2):
+        oracle = ADMMSDPSolver(nit=500)
+        _, gX = oracle.run_with_state(0, Z, state)
+        _, _, rem_orc = oracle.rounding(Z, gX, state)
+
+        mm = MMW(nit=300, eta=0.04, seed=0, log_gap=True)
+        _, gXm = mm.run_with_state(0, Z, state)
+        _, _, rem_mmw = mm.rounding(Z, gXm, state)
+        lb_final = float(np.asarray(mm.last_output.gap_log)[-1, 1])
+
+        if rem_orc > 0:
+            # Oracle says infeasible: MMW must corroborate via certificate
+            # or its own rounding failure.
+            assert lb_final > eps or rem_mmw > 0, (Z, rem_orc, lb_final)
+        else:
+            # Oracle says feasible: MMW must not certify infeasibility.
+            assert lb_final <= eps, (Z, lb_final)
+    # The known min feasible Z itself must be oracle-feasible.
+    oracle = ADMMSDPSolver(nit=500)
+    _, gX = oracle.run_with_state(0, Z_fin, state)
+    _, _, rem = oracle.rounding(Z_fin, gX, state)
+    assert rem == 0
+
+
 def test_lrp_solver_residuals(ref_state):
     """The projection solver must actually solve the reference LP feasibility
     system (lrp.py:41-51): every constraint-family residual <= 1e-3 at

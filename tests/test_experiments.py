@@ -54,6 +54,16 @@ def test_sim_mmw_time(smoke_dir):
     assert any(f.startswith("mmw150-fused") for f in files)
 
 
+def test_sim_mmw_oracle_z(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_mmw_oracle_z
+
+    path = _run(sim_mmw_oracle_z, smoke_dir, "oraclez",
+                extra=["--oracle_nit", "200"])
+    files = os.listdir(path)
+    assert any(f.startswith("scs-") for f in files)
+    assert any(f.startswith("mmw150-") for f in files)
+
+
 def test_sim_online_methods(smoke_dir):
     from sig_sdp_mmw_tpu.experiments import sim_online_methods
 
