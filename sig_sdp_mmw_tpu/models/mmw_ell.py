@@ -427,6 +427,11 @@ class MMWEll(_StatsObject):
         self._jit_cache = {}
         self._bcsr = None
         self._bcsr_for = None
+        # Sticky sketch-width bucket: the first probe of a binary search pins
+        # the (D_pad, rank_pad) bucket so every later (smaller-Z) probe reuses
+        # the same executable — no mid-search recompiles (r2 weak #1).  Only
+        # the rare "shift window up" case can grow it (one extra compile).
+        self._pinned = None   # (state id, D_pad, rank_pad)
 
     def prepare(self, ell: EllState, S_csr=None, Q_csr=None, block: int = 128,
                 **bcsr_kw):
@@ -484,6 +489,14 @@ class MMWEll(_StatsObject):
         tic = self._get_tic()
         if D_pad is None:
             D_pad, rank_pad = self._d_pad_for(ell, Z)
+            # Sticky bucket: reuse (grow only if needed) the bucket pinned by
+            # this state's first probe, so a descending binary search never
+            # recompiles (a smaller Z in a wider bucket is exact — D_act
+            # masks the extra columns).
+            if self._pinned is not None and self._pinned[0] == id(ell):
+                D_pad = max(D_pad, self._pinned[1])
+                rank_pad = max(rank_pad, self._pinned[2])
+            self._pinned = (id(ell), D_pad, rank_pad)
         else:
             rank_pad = min(D_pad, ell.Kp - 1)
         bcsr = self._bcsr if (self.use_bcsr and self._bcsr_for == id(ell)) \

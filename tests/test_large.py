@@ -61,3 +61,49 @@ def test_ell_solver_runs_at_10k():
                                              lanczos_m=8)
                   )(ell, jax.random.PRNGKey(0))
     assert np.isfinite(float(out.ub_final))
+
+
+def test_verifiers_agree_and_catch_injected_violations_at_10k():
+    """Property test on the independent checkers at scale (K=10800): the
+    host-CSR and ELL verifiers must agree EXACTLY (feasible flag and both
+    violation counts) on feasible, random, and deliberately violated
+    assignments — so the independent checker is itself checked."""
+    import scipy.sparse
+
+    from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+    from sig_sdp_mmw_tpu.models import MAX_GAIN_ELL
+    from sig_sdp_mmw_tpu.models.rounding_ell import (
+        verify_assignment_csr, verify_assignment_ell)
+
+    S, Q, h = generate_large_state_csr(60, 75e-4, seed=3)
+    K = S.shape[0]
+    ell = ell_from_scipy(S, Q, h)
+
+    def both(z):
+        rc = verify_assignment_csr(S, Q, h, z)
+        re = verify_assignment_ell(ell, z)
+        assert rc == re, (rc, re)
+        return rc
+
+    # 1. A feasible assignment is accepted by both.
+    z, ZZ, rem = MAX_GAIN_ELL.run(0, ell, not_Z_bound=True)
+    assert rem == 0
+    ok, ni, na = both(z)
+    assert ok and ni == 0 and na == 0
+
+    # 2. Injected association violation: one associated pair, same slot.
+    Qu = scipy.sparse.triu(Q, k=1).tocoo()
+    i, j = int(Qu.row[0]), int(Qu.col[0])
+    z2 = np.array(z, np.int64)
+    z2[j] = z2[i]
+    ok, ni, na = both(z2)
+    assert not ok and na >= 1
+
+    # 3. Everyone in one slot: massive interference + association carnage.
+    ok, ni, na = both(np.zeros(K, np.int64))
+    assert not ok and ni > K // 4 and na > 0
+
+    # 4. Random assignments at several slot counts: exact agreement.
+    rng = np.random.default_rng(0)
+    for Z in (4, 16, 64):
+        both(rng.integers(0, Z, size=K))
