@@ -107,6 +107,46 @@ def test_graph_sharded_ell_solve(ref_state):
                                atol=1e-4)
 
 
+def test_graph_sharded_bcsr_solve(ref_state, fix):
+    """The block-native (BCSR) solver path — the one that carries the 100k+
+    workload — must give the same answer when its block arrays are sharded
+    across the graph axis (GSPMD inserts collectives for the block gathers
+    and the .at[].add edge accumulators)."""
+    import scipy.sparse
+
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    mesh = make_mesh(8, batch_size=4)        # graph axis = 2
+    K = ref_state.K
+    S = scipy.sparse.csr_matrix(np.asarray(fix["S"], np.float64))
+    Q = scipy.sparse.csr_matrix(np.asarray(fix["Q"], np.float64))
+    ops = bcsr_operands_from_state(S, Q, block=(8, 8))
+    Kbr = ops.s_blocks.Kb
+    assert Kbr % 2 == 0, Kbr
+
+    def shard_rows(x):
+        # [Kbr, ...] arrays row-sharded, everything else replicated.
+        if getattr(x, "ndim", 0) >= 2 and x.shape[0] == Kbr:
+            return jax.device_put(
+                x, NamedSharding(mesh, P("graph", *([None] * (x.ndim - 1)))))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    ops_sh = jax.tree.map(shard_rows, ops)
+
+    # EllState padded to the BCSR row count so the two layouts line up.
+    ell = ell_from_sig_state(ref_state)
+    key = jax.random.PRNGKey(11)
+    fn = jax.jit(lambda e, k, b: mmw_solve_ell(e, 8.0, nit=8, eta=0.05,
+                                               D_pad=32, rank_pad=32, key=k,
+                                               bcsr=b))
+    a = fn(ell, key, ops_sh)
+    b = fn(ell, key, ops)
+    np.testing.assert_allclose(np.asarray(a.ub_final), np.asarray(b.ub_final),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.X_half), np.asarray(b.X_half),
+                               atol=2e-4)
+
+
 def test_parallel_probe_search(ref_state, fix):
     pp = ParallelProbeSearch(nit=80, eta=0.05, seed=0, max_probes=12)
     z_vec, Z, rem = pp.run(ref_state)
