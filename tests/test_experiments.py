@@ -64,6 +64,16 @@ def test_sim_mmw_oracle_z(smoke_dir):
     assert any(f.startswith("mmw150-") for f in files)
 
 
+def test_sim_bound_ablation(smoke_dir):
+    from sig_sdp_mmw_tpu.experiments import sim_bound_ablation
+
+    path = _run(sim_bound_ablation, smoke_dir, "bounds",
+                extra=["--repeat", "2", "--alg", "mmw"])
+    files = os.listdir(path)
+    assert any(f.startswith("g_bound_iter_list") for f in files)
+    assert any(f.startswith("n_bound_time_list") for f in files)
+
+
 def test_sim_online_methods(smoke_dir):
     from sig_sdp_mmw_tpu.experiments import sim_online_methods
 
