@@ -102,7 +102,8 @@ class _ScoreHeuristicEll(StatsObject):
 
     @classmethod
     def run(cls, Z: int, ell: EllState, nattempt: int = 1,
-            not_Z_bound: bool = False) -> Tuple[np.ndarray, int, int]:
+            not_Z_bound: bool = False, Z_pad: int = None
+            ) -> Tuple[np.ndarray, int, int]:
         # nattempt accepted for interface parity; the rank is deterministic,
         # so every attempt coincides (see heuristics._greedy_pack_slot_major).
         key = jax.random.PRNGKey(cls._seed)
@@ -118,7 +119,8 @@ class _ScoreHeuristicEll(StatsObject):
                     break
                 Z_try = min(2 * Z_try, ((ell.K + 15) // 16) * 16)
             return np.asarray(z_vec)[: ell.K], int(ZZ), int(rem)
-        Z_pad = _z_pad_for(ell, Z)
+        if Z_pad is None:
+            Z_pad = _z_pad_for(ell, Z)
         z_vec, ZZ, rem = _pack_by_scores_ell(ell, cls._scores(ell),
                                              jnp.int32(Z), key, Z_pad=Z_pad)
         return np.asarray(z_vec)[: ell.K], int(ZZ), int(rem)
@@ -138,9 +140,10 @@ class MAX_ASSO_ELL(_ScoreHeuristicEll):
 
 class MAX_RAND_ELL(StatsObject):
     @classmethod
-    def run(cls, Z: int, ell: EllState, nattempt: int = 1
-            ) -> Tuple[np.ndarray, int, int]:
+    def run(cls, Z: int, ell: EllState, nattempt: int = 1,
+            Z_pad: int = None) -> Tuple[np.ndarray, int, int]:
         key = jax.random.PRNGKey(4242)
-        z_vec, rem = _pack_random_ell(ell, jnp.int32(Z), key,
-                                      Z_pad=_z_pad_for(ell, Z))
+        if Z_pad is None:
+            Z_pad = _z_pad_for(ell, Z)
+        z_vec, rem = _pack_random_ell(ell, jnp.int32(Z), key, Z_pad=Z_pad)
         return np.asarray(z_vec)[: ell.K], Z, int(rem)

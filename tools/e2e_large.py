@@ -126,6 +126,34 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
           f"frac>1e-5={rec['bler_frac_above_1e-5']:.4f} "
           f"[{rec['phases_s']['bler_eval']}s]")
 
+    # Heuristic baselines at the SAME Z (sim_all_bler protocol at scale):
+    # the only other methods that run at 100k links.  Gives the MMW BLER
+    # numbers a comparison point (VERDICT r2 missing #4).
+    from sig_sdp_mmw_tpu.models.heuristics_ell import (
+        MAX_GAIN_ELL, MAX_RAND_ELL)
+
+    Z_pad_h = ((int(Z_fin) + 15) // 16) * 16
+    for name, cls in (("mgain", MAX_GAIN_ELL), ("mrand", MAX_RAND_ELL)):
+        t0 = time.time()
+        z_h, _, rem_h = cls.run(int(Z_fin), ell, Z_pad=Z_pad_h)
+        wall = round(time.time() - t0, 2)
+        ok_h, ni_h, na_h = verify_assignment_csr(S, Q, h, z_h)
+        bler_h = env.evaluate_bler(z_h, int(Z_fin))
+        rec[name] = {
+            "rem": int(rem_h), "verified_feasible": bool(ok_h),
+            "n_interf_vio": int(ni_h), "n_asso_vio": int(na_h),
+            "bler_mean": float(np.mean(bler_h)),
+            "bler_max": float(np.max(bler_h)),
+            "bler_frac_above_1e-5": float(np.mean(bler_h > 1e-5)),
+            "wall_s": wall,
+        }
+        print(f"{name}@Z={int(Z_fin)}: rem={rem_h} ok={ok_h} "
+              f"bler mean={rec[name]['bler_mean']:.3e} "
+              f"max={rec[name]['bler_max']:.3e} "
+              f"frac>1e-5={rec[name]['bler_frac_above_1e-5']:.4f} "
+              f"[{wall}s]")
+        rec["phases_s"][f"heur_{name}"] = wall
+
     rec["total_s"] = round(sum(rec["phases_s"].values()), 2)
     out_path = out_path or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
