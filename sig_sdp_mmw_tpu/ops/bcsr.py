@@ -17,6 +17,7 @@ profitable whenever block fill is above ~1% (MXU speed / gather speed).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -134,6 +135,59 @@ def bcsr_spmm(mat: BlockEll, V: jax.Array,
 
     out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kbr, Br, D), acc_dtype))
     return out.reshape(Kbr * Br, D)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """Pallas block-sparse SpMM: same contract as :func:`bcsr_spmm`.
+
+    The XLA ``fori_loop``-over-slots formulation serializes one whole
+    [Kbr, Br, Bc] x gathered-[Kbr, Bc, D] batched matmul per slot, leaving
+    the chip far below HBM bandwidth (measured ~30 GB/s at K=100k —
+    SPMM_BENCH.json).  This kernel instead walks a (Kbr, maxblk) grid with
+    the column-block ids as a scalar-prefetch operand, so Mosaic's pipeline
+    DMAs each [Br, Bc] value block and its gathered [Bc, D] slice of V while
+    the MXU multiplies the previous pair — the canonical TPU block-sparse
+    pattern.  Padding slots point at column-block 0 with all-zero values, so
+    no masking is needed.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Br, Bc = mat.Brow, mat.B
+    Kbr = mat.Kb
+    maxblk = mat.bcols.shape[1]
+    D = V.shape[1]
+    acc_dtype = V.dtype
+    blk_dtype = mat.blocks.dtype
+
+    def kern(bcols_ref, blocks_ref, v_ref, out_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[...] += jnp.dot(blocks_ref[0, 0],
+                                v_ref[...].astype(blk_dtype),
+                                preferred_element_type=acc_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Kbr, maxblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, Br, Bc), lambda i, s, bcols: (i, s, 0, 0)),
+            pl.BlockSpec((Bc, D), lambda i, s, bcols: (bcols[i, s], 0)),
+        ],
+        out_specs=pl.BlockSpec((Br, D), lambda i, s, bcols: (i, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Kbr * Br, D), acc_dtype),
+        interpret=interpret,
+    )(mat.bcols, mat.blocks, V)
 
 
 def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128

@@ -12,7 +12,7 @@ from sig_sdp_mmw_tpu.core.problem import state_from_arrays
 from sig_sdp_mmw_tpu.models.mmw import mmw_solve
 from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
 from sig_sdp_mmw_tpu.models.rounding import rounding, verify_assignment
-from sig_sdp_mmw_tpu.ops.ell import ell_spmm, ell_spmm_pallas
+from sig_sdp_mmw_tpu.ops.ell import ell_spmm
 
 
 @pytest.fixture(scope="module")
@@ -82,16 +82,29 @@ def test_ell_spmm_matches_dense(ell_state, dense_state):
                                atol=1e-5)
 
 
-def test_ell_spmm_pallas_interpret(ell_state):
-    """Pallas kernel (interpreter mode on CPU) vs the XLA gather path."""
-    Kp = ell_state.Kp
-    rng = np.random.default_rng(1)
-    V = jnp.asarray(rng.standard_normal((Kp, 8)).astype(np.float32))
-    want = ell_spmm(ell_state.s_cols, ell_state.s_vals, V)
-    got = ell_spmm_pallas(ell_state.s_cols, ell_state.s_vals, V,
-                          block_rows=Kp, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
-                               atol=1e-5)
+def test_bcsr_spmm_pallas_matches_xla():
+    """Pallas block-sparse DMA-pipeline kernel vs the XLA block path, both
+    square and rectangular tiles, f32 and bf16 blocks.
+
+    Interpreter mode: the tunneled axon device in this image wedges on ANY
+    pallas_call execution (even a trivial add-one kernel — infra limitation,
+    not kernel correctness; see SPMM_BENCH.json), so hardware timing is
+    deferred to an environment with direct TPU attachment."""
+    import scipy.sparse
+
+    from sig_sdp_mmw_tpu.ops.bcsr import (bcsr_from_csr, bcsr_spmm,
+                                          bcsr_spmm_pallas)
+
+    rng = np.random.default_rng(0)
+    M = scipy.sparse.random(512, 512, density=0.05, random_state=0,
+                            format="csr")
+    for blk in ((128, 128), (8, 128)):
+        for dtype in (np.float32, jnp.bfloat16):
+            bell = bcsr_from_csr(M, block=blk, pad_rows_to=512, dtype=dtype)
+            V = jnp.asarray(rng.standard_normal((512, 64)), jnp.float32)
+            want = np.asarray(bcsr_spmm(bell, V))
+            got = np.asarray(bcsr_spmm_pallas(bell, V, interpret=True))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_sparse_mmw_matches_dense(dense_state, ell_state, fix):

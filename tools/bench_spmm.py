@@ -21,15 +21,19 @@ print = functools.partial(print, flush=True)
 
 
 def bench_one(fn, args, reps=10):
-    import jax
+    """Median wall time of ``float(sum(fn(*args)))``.
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    On the tunneled axon device, block_until_ready on a large device output
+    can return before execution completes; reducing to a scalar and pulling
+    it to host is the only reliable completion barrier.  The benched fns are
+    therefore wrapped to end in jnp.sum.
+    """
+    float(fn(*args))                      # compile + warm
+    float(fn(*args))                      # absorb any deferred first-run cost
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -42,7 +46,7 @@ def main(cells=(60, 183), D=64, reps=10, block_rows=256):
     from sig_sdp_mmw_tpu.env.large import generate_large_state_csr
     from sig_sdp_mmw_tpu.ops.bcsr import bcsr_from_csr
     from sig_sdp_mmw_tpu.core.ell import build_st_csr
-    from sig_sdp_mmw_tpu.ops.ell import ell_spmm, ell_spmm_pallas
+    from sig_sdp_mmw_tpu.ops.ell import ell_spmm
 
     recs = []
     for cell in cells:
@@ -60,26 +64,10 @@ def main(cells=(60, 183), D=64, reps=10, block_rows=256):
 
         rec = {"K": K, "Kp": ell.Kp, "nnz": int(nnz), "D": D, "ms": {}}
 
-        f_xla = jax.jit(lambda c, v, x: ell_spmm(c, v, x))
+        f_xla = jax.jit(lambda c, v, x: jnp.sum(ell_spmm(c, v, x)))
         t = bench_one(f_xla, (ell.s_cols, ell.s_vals, V), reps)
         rec["ms"]["ell_xla"] = round(t * 1e3, 3)
         rec["gflops_useful"] = round(2 * nnz * D / 1e9, 3)
-
-        try:
-            br = block_rows if ell.Kp % block_rows == 0 else \
-                max(b for b in (512, 256, 128, 64, 8) if ell.Kp % b == 0)
-            f_pl = jax.jit(functools.partial(ell_spmm_pallas,
-                                             block_rows=br))
-            t = bench_one(f_pl, (ell.s_cols, ell.s_vals, V), reps)
-            rec["ms"]["ell_pallas"] = round(t * 1e3, 3)
-            rec["pallas_block_rows"] = br
-            # Cross-check numerics.
-            a = np.asarray(f_xla(ell.s_cols, ell.s_vals, V))
-            b = np.asarray(f_pl(ell.s_cols, ell.s_vals, V))
-            rec["pallas_max_abs_err"] = float(np.abs(a - b).max())
-        except Exception as exc:  # noqa: BLE001 — record, don't die
-            rec["ms"]["ell_pallas"] = None
-            rec["pallas_error"] = f"{type(exc).__name__}: {exc}"[:500]
 
         for blk, tag in (((8, 128), "bcsr_8x128"), ((128, 128), "bcsr_128")):
             bell = bcsr_from_csr(St, block=blk,
@@ -92,7 +80,7 @@ def main(cells=(60, 183), D=64, reps=10, block_rows=256):
                 if nr >= ell.Kp else None
             if Vp is None:
                 continue
-            f_b = jax.jit(lambda b, v: bcsr_spmm(b, v))
+            f_b = jax.jit(lambda b, v: jnp.sum(bcsr_spmm(b, v)))
             t = bench_one(f_b, (bell, Vp), reps)
             rec["ms"][tag] = round(t * 1e3, 3)
             rec[f"{tag}_fill_gflops"] = round(
