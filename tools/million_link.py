@@ -1,0 +1,218 @@
+"""Million-link configuration (BASELINE.json config 5): generation, memory
+budget, and a real-chip solver attempt.
+
+Every phase is guarded; whatever fails is recorded with numbers, so the
+artifact (MILLION_LINK.json) is either a demonstration or a quantified
+failure analysis.  Phases:
+
+1. generate cell~580 (K ~ 1.0M links) with the native C++ builder;
+2. build the ELL state + lean BCSR operands (bf16 blocks, no stored
+   transpose) and tabulate the host/device byte budget vs the chip's HBM;
+3. transfer + run the block-native MMW for a few iterations on the real
+   chip (per-iteration time at 1M links);
+4. optionally (--rounding) one greedy rounding attempt + host verification.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import numpy as np
+
+print = functools.partial(print, flush=True)
+
+
+def _gb(nbytes):
+    return round(nbytes / 2**30, 3)
+
+
+def tree_bytes(tree):
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)
+               if hasattr(x, "dtype"))
+
+
+def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
+         do_rounding=False, out_path=None):
+    import jax
+    import jax.numpy as jnp
+
+    rec = {"config": {"cell": cell, "rho": rho, "seed": seed, "nit": nit,
+                      "block": block},
+           "device": str(jax.devices()[0]).split(":")[0],
+           "phases_s": {}, "budget_gb": {}}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = out_path or os.path.join(repo, "MILLION_LINK.json")
+
+    def save():
+        rec["total_s"] = round(sum(rec["phases_s"].values()), 1)
+        with open(out_path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {out_path}")
+
+    try:
+        from sig_sdp_mmw_tpu.env.large import LargeEnv
+
+        t0 = time.time()
+        env = LargeEnv(cell, rho, seed=seed)
+        S, Q, h = env.generate_state_csr()
+        K = S.shape[0]
+        rec["K"] = K
+        rec["nnz_S"] = int(S.nnz)
+        rec["nnz_Q"] = int(Q.nnz)
+        rec["phases_s"]["generate"] = round(time.time() - t0, 1)
+        print(f"generate: K={K} nnz(S)={S.nnz} nnz(Q)={Q.nnz} "
+              f"[{rec['phases_s']['generate']}s]")
+    except Exception as exc:  # noqa: BLE001
+        rec["generate_error"] = f"{type(exc).__name__}: {exc}"[:400]
+        save()
+        raise
+
+    try:
+        t0 = time.time()
+        ell = env.generate_ell()
+        rec["phases_s"]["ell_build"] = round(time.time() - t0, 1)
+        rec["degS"] = int(ell.s_cols.shape[1])
+        rec["degQ"] = int(ell.q_cols.shape[1])
+        rec["budget_gb"]["ell_state"] = _gb(tree_bytes(ell))
+        print(f"ell: degS={rec['degS']} Kp={ell.Kp} "
+              f"{rec['budget_gb']['ell_state']} GB "
+              f"[{rec['phases_s']['ell_build']}s]")
+    except Exception as exc:  # noqa: BLE001
+        rec["ell_error"] = f"{type(exc).__name__}: {exc}"[:400]
+        save()
+        raise
+
+    try:
+        from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+        t0 = time.time()
+        ops = bcsr_operands_from_state(S, Q, block=block,
+                                       dtype=jnp.bfloat16,
+                                       store_transpose=False,
+                                       weights_dtype=jnp.bfloat16)
+        rec["phases_s"]["bcsr_build"] = round(time.time() - t0, 1)
+        rec["budget_gb"]["bcsr_operands"] = _gb(tree_bytes(ops))
+        rec["bcsr_Kb"] = int(ops.s_blocks.Kb)
+        rec["bcsr_maxblk"] = int(ops.s_blocks.bcols.shape[1])
+        rec["block_fill_pct"] = round(
+            100 * S.nnz / ops.s_blocks.blocks.size, 3)
+        print(f"bcsr: Kb={rec['bcsr_Kb']} maxblk={rec['bcsr_maxblk']} "
+              f"fill={rec['block_fill_pct']}% "
+              f"{rec['budget_gb']['bcsr_operands']} GB "
+              f"[{rec['phases_s']['bcsr_build']}s]")
+    except Exception as exc:  # noqa: BLE001
+        rec["bcsr_error"] = f"{type(exc).__name__}: {exc}"[:400]
+        save()
+        raise
+
+    # Working-set estimate for the solver at sketch width D.
+    lb = int(np.diff(Q.indptr).max()) + 1
+    Z = float(lb + 4)
+    D_pad = d_pad or ((int(Z) * 2 + 15) // 16) * 16
+    rec["lb"] = lb
+    rec["Z_probe"] = Z
+    rec["D_pad"] = D_pad
+    # V-sized f32 buffers on the hot path: sketch V, Lanczos vectors
+    # (3 live), averaged weights (nnz), edge values (nnz + E).
+    v_bytes = ell.Kp * D_pad * 4
+    work = 6 * v_bytes + 3 * S.nnz * 4 + 2 * ell.E_pad * 4
+    rec["budget_gb"]["solver_working_set_est"] = _gb(work)
+    rec["budget_gb"]["total_est"] = round(
+        rec["budget_gb"]["ell_state"] + rec["budget_gb"]["bcsr_operands"]
+        + rec["budget_gb"]["solver_working_set_est"], 3)
+    rec["budget_gb"]["hbm_v5e"] = 16.0
+    print(f"budget: {rec['budget_gb']}")
+
+    try:
+        from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+
+        t0 = time.time()
+        ell = jax.device_put(ell)
+        jax.block_until_ready(ell.s_vals)
+        ops = jax.device_put(ops)
+        jax.block_until_ready(ops.s_blocks.blocks)
+        rec["phases_s"]["device_transfer"] = round(time.time() - t0, 1)
+        print(f"transfer: [{rec['phases_s']['device_transfer']}s]")
+
+        fn = jax.jit(lambda e, k, b: mmw_solve_ell(
+            e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
+            lanczos_m=8, bcsr=b))
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        lowered = fn.lower(ell, key, ops)
+        compiled = lowered.compile()
+        rec["phases_s"]["compile"] = round(time.time() - t0, 1)
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            rec["budget_gb"]["xla_argument"] = _gb(mem.argument_size_in_bytes)
+            rec["budget_gb"]["xla_temp"] = _gb(mem.temp_size_in_bytes)
+            rec["budget_gb"]["xla_peak_extra"] = _gb(
+                mem.temp_size_in_bytes + mem.output_size_in_bytes)
+        print(f"compile: [{rec['phases_s']['compile']}s] "
+              f"xla temp={rec['budget_gb'].get('xla_temp')} GB")
+
+        t0 = time.time()
+        out = compiled(ell, key, ops)
+        ub = float(out.ub_final)          # scalar pull = completion barrier
+        rec["phases_s"]["solve"] = round(time.time() - t0, 1)
+        rec["ub_final"] = ub
+        rec["s_per_iter_first"] = round(rec["phases_s"]["solve"] / nit, 2)
+        print(f"solve nit={nit}: ub={ub:.4f} "
+              f"[{rec['phases_s']['solve']}s, "
+              f"{rec['s_per_iter_first']}s/iter incl warm]")
+
+        t0 = time.time()
+        out = compiled(ell, jax.random.fold_in(key, 1), ops)
+        ub = float(out.ub_final)
+        warm = time.time() - t0
+        rec["phases_s"]["solve_warm"] = round(warm, 1)
+        rec["s_per_iter"] = round(warm / nit, 2)
+        print(f"warm solve: {rec['s_per_iter']}s/iter")
+    except Exception as exc:  # noqa: BLE001
+        rec["solve_error"] = f"{type(exc).__name__}: {exc}"[:600]
+        save()
+        print(f"SOLVE FAILED: {rec['solve_error']}")
+        return rec
+
+    if do_rounding:
+        try:
+            from sig_sdp_mmw_tpu.models.rounding_ell import (
+                rounding_ell, verify_assignment_csr)
+
+            t0 = time.time()
+            z_vec, _, rem = rounding_ell(int(Z), out.X_half, ell,
+                                         jax.random.PRNGKey(7), nattempt=1,
+                                         Z_pad=((int(Z) + 15) // 16) * 16)
+            rec["phases_s"]["rounding"] = round(time.time() - t0, 1)
+            rec["rounding_rem"] = int(rem)
+            ok, ni, na = verify_assignment_csr(S, Q, h, z_vec)
+            rec["verified"] = dict(ok=bool(ok), interf=int(ni), asso=int(na))
+            print(f"rounding: rem={rem} verify={rec['verified']} "
+                  f"[{rec['phases_s']['rounding']}s]")
+        except Exception as exc:  # noqa: BLE001
+            rec["rounding_error"] = f"{type(exc).__name__}: {exc}"[:400]
+
+    save()
+    return rec
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cell", type=int, default=580)
+    ap.add_argument("--rho", type=float, default=75e-4)
+    ap.add_argument("--nit", type=int, default=3)
+    ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--d-pad", type=int, default=None)
+    ap.add_argument("--rounding", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    a = ap.parse_args()
+    main(a.cell, a.rho, nit=a.nit, block=a.block, d_pad=a.d_pad,
+         do_rounding=a.rounding, out_path=a.out)
