@@ -141,7 +141,16 @@ def _rounding_batch_ell(ell: EllState, gX, Z, key, Z_pad: int, nattempt: int):
     return z_vec, rem
 
 
-def default_z_pad_ell(ell: EllState) -> int:
+def default_z_pad_ell(ell: EllState, Z: int = None) -> int:
+    """Static slot-axis padding.  With ``Z`` given, bucket to the smallest
+    power of two >= max(Z, 16): every [Z_pad, Kp] rounding buffer (and the
+    per-user slot scan) then scales with the probe's own Z instead of the
+    search window's upper bound — at K~100k with ub~108 the late (small-Z)
+    probes shrink ~4x.  Power-of-two bucketing keeps the executable count
+    logarithmic over a binary search; slots >= Z are masked (`slot_ok`), so
+    the trajectory is Z_pad-invariant for any Z_pad >= Z."""
+    if Z is not None:
+        return 1 << (max(int(Z), 16) - 1).bit_length()
     _, ub = ell.degree_bounds()
     return ((ub + 15) // 16) * 16
 
@@ -162,11 +171,14 @@ def _rounding_single_ell(ell: EllState, gX, Z, key, Z_pad: int):
     return z_vec, rem
 
 
-# Above this row count the [nattempt, Z_pad, Kp] batched-attempt buffers (and
-# the 10x-replicated greedy program) overwhelm single-chip HBM; sequential
-# retries also early-exit on the first feasible attempt, exactly like the
-# reference loop (sdp_solver.py:18-25).
-_BATCH_ATTEMPT_MAX_KP = 16384
+# Byte budget for the [nattempt, Z_pad, Kp] batched-attempt buffers (~4 such
+# f32 arrays live: load carries, slot preferences, inner products).  Batching
+# trades the reference's first-success early exit (sdp_solver.py:18-25) for
+# one device program whose sequential user scan is shared by all attempts —
+# at K~100k one scan dominates, so 10 batched attempts cost ~1.2x one
+# attempt instead of up to 10x.  Above the budget (K~1M), fall back to the
+# reference's sequential host retry loop.
+_BATCH_ATTEMPT_MAX_BYTES = 2 << 30
 
 
 def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,
@@ -175,13 +187,14 @@ def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,
     """Reference-compatible entry (``sdp_solver.py:18``) on the ELL state.
 
     ``batch_attempts``: run all ``nattempt`` attempts as one vmapped device
-    program (fast at small K) vs. a host retry loop with first-success exit
-    (the reference's own control flow; the memory-lean large-K default).
+    program (one shared user scan) vs. a host retry loop with first-success
+    exit (the reference's own control flow; the memory-lean 1M-link default).
     """
     if Z_pad is None:
-        Z_pad = default_z_pad_ell(ell)
+        Z_pad = default_z_pad_ell(ell, Z)
     if batch_attempts is None:
-        batch_attempts = ell.Kp <= _BATCH_ATTEMPT_MAX_KP
+        batch_attempts = (4 * nattempt * Z_pad * ell.Kp * 4
+                          <= _BATCH_ATTEMPT_MAX_BYTES)
     gX = jnp.asarray(gX)
     if batch_attempts:
         z_vec, rem = _rounding_batch_ell(ell, gX, jnp.int32(Z), key,

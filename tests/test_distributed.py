@@ -9,7 +9,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 
 def _free_port() -> int:
@@ -18,8 +17,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_distributed(tmp_path):
+    # Hang guard is the communicate(timeout=240) below — pytest-timeout is
+    # not installed in this image, so a mark would just warn.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "distributed_worker.py")
     addr = f"127.0.0.1:{_free_port()}"

@@ -126,6 +126,29 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
           f"frac>1e-5={rec['bler_frac_above_1e-5']:.4f} "
           f"[{rec['phases_s']['bler_eval']}s]")
 
+    # Tail decomposition (why a verified-feasible assignment still has users
+    # above the 1e-5 target): the solver enforces the THRESHOLDED graph
+    # exactly — every rx ratio below min_s_n_ratio is dropped from S by
+    # design (reference env.py:151) — while the evaluation charges the full
+    # channel.  Re-evaluate on the channel the solver constrained (exact
+    # terms above min_s_n_ratio, no mean-field far tail): users that pass
+    # there but fail the full evaluation are thresholding physics
+    # (accumulated sub-threshold interference), not solver error.
+    t0 = time.time()
+    bler_g = env.evaluate_bler(z_vec, int(Z_fin),
+                               eval_min_ratio=env.params.min_s_n_ratio,
+                               tail_correction=False)
+    rec["tail_decomposition"] = {
+        "in_graph_min_ratio": env.params.min_s_n_ratio,
+        "frac_above_1e-5_in_graph_channel": float(np.mean(bler_g > 1e-5)),
+        "frac_above_1e-5_full_channel": rec["bler_frac_above_1e-5"],
+        "frac_above_1e-5_from_subthreshold_only":
+            float(np.mean((bler > 1e-5) & (bler_g <= 1e-5))),
+    }
+    rec["phases_s"]["tail_decomp"] = round(time.time() - t0, 2)
+    print(f"tail decomposition: {rec['tail_decomposition']} "
+          f"[{rec['phases_s']['tail_decomp']}s]")
+
     # Heuristic baselines at the SAME Z (sim_all_bler protocol at scale):
     # the only other methods that run at 100k links.  Gives the MMW BLER
     # numbers a comparison point (VERDICT r2 missing #4).
@@ -155,9 +178,11 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
         rec["phases_s"][f"heur_{name}"] = wall
 
     rec["total_s"] = round(sum(rec["phases_s"].values()), 2)
-    out_path = out_path or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "E2E_LARGE.json")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    np.savez_compressed(os.path.join(repo_root, "e2e_large_assignment.npz"),
+                        z_vec=np.asarray(z_vec), Z=int(Z_fin),
+                        cell=cell, seed=seed)
+    out_path = out_path or os.path.join(repo_root, "E2E_LARGE.json")
     with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
     print(f"wrote {out_path} (total {rec['total_s']}s)")
