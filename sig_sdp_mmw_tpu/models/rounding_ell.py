@@ -174,11 +174,13 @@ def _rounding_single_ell(ell: EllState, gX, Z, key, Z_pad: int):
 # Byte budget for the [nattempt, Z_pad, Kp] batched-attempt buffers (~4 such
 # f32 arrays live: load carries, slot preferences, inner products).  Batching
 # trades the reference's first-success early exit (sdp_solver.py:18-25) for
-# one device program whose sequential user scan is shared by all attempts —
-# at K~100k one scan dominates, so 10 batched attempts cost ~1.2x one
-# attempt instead of up to 10x.  Above the budget (K~1M), fall back to the
-# reference's sequential host retry loop.
-_BATCH_ATTEMPT_MAX_BYTES = 2 << 30
+# one device program whose sequential user scan is shared by all attempts.
+# The budget is deliberately small: beyond ~10k rows the batched program is a
+# single multi-minute device execution, which the tunneled runtime in this
+# image cannot survive (observed as a TPU worker crash at K~100k) — and at
+# large K the sequential loop's first-success early exit is the better
+# semantics anyway (feasible probes succeed on attempt 1).
+_BATCH_ATTEMPT_MAX_BYTES = 256 << 20
 
 
 def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,
