@@ -171,16 +171,16 @@ def _rounding_single_ell(ell: EllState, gX, Z, key, Z_pad: int):
     return z_vec, rem
 
 
-# Byte budget for the [nattempt, Z_pad, Kp] batched-attempt buffers (~4 such
-# f32 arrays live: load carries, slot preferences, inner products).  Batching
-# trades the reference's first-success early exit (sdp_solver.py:18-25) for
-# one device program whose sequential user scan is shared by all attempts.
-# The budget is deliberately small: beyond ~10k rows the batched program is a
-# single multi-minute device execution, which the tunneled runtime in this
-# image cannot survive (observed as a TPU worker crash at K~100k) — and at
+# Row-count cap for batching all attempts into one vmapped device program.
+# Batching trades the reference's first-success early exit
+# (sdp_solver.py:18-25) for one device program whose sequential user scan is
+# shared by all attempts — a clear win at small K.  Beyond ~16k rows the
+# batched greedy is one multi-minute device execution, which the tunneled
+# TPU runtime in this image does not survive (reproducible worker crash at
+# Kp~100k even at Z_pad=16, i.e. independent of buffer bytes) — and at
 # large K the sequential loop's first-success early exit is the better
 # semantics anyway (feasible probes succeed on attempt 1).
-_BATCH_ATTEMPT_MAX_BYTES = 256 << 20
+_BATCH_ATTEMPT_MAX_KP = 16384
 
 
 def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,
@@ -195,8 +195,7 @@ def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,
     if Z_pad is None:
         Z_pad = default_z_pad_ell(ell, Z)
     if batch_attempts is None:
-        batch_attempts = (4 * nattempt * Z_pad * ell.Kp * 4
-                          <= _BATCH_ATTEMPT_MAX_BYTES)
+        batch_attempts = ell.Kp <= _BATCH_ATTEMPT_MAX_KP
     gX = jnp.asarray(gX)
     if batch_attempts:
         z_vec, rem = _rounding_batch_ell(ell, gX, jnp.int32(Z), key,
