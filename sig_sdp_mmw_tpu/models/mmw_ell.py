@@ -432,6 +432,7 @@ class MMWEll(_StatsObject):
         # the same executable — no mid-search recompiles (r2 weak #1).  Only
         # the rare "shift window up" case can grow it (one extra compile).
         self._pinned = None   # (state id, D_pad, rank_pad)
+        self._pinned_zpad = None   # (state id, rounding Z_pad bucket)
 
     def prepare(self, ell: EllState, S_csr=None, Q_csr=None, block: int = 128,
                 **bcsr_kw):
@@ -514,8 +515,18 @@ class MMWEll(_StatsObject):
         return True, out.X_half
 
     def rounding(self, Z: int, gX, ell: EllState, nattempt: Optional[int] = None):
-        from sig_sdp_mmw_tpu.models.rounding_ell import rounding_ell
+        from sig_sdp_mmw_tpu.models.rounding_ell import (
+            default_z_pad_ell, rounding_ell)
+        # Sticky Z_pad bucket (same trick as the sketch-width pin above): the
+        # first probe of a binary search pins the rounding's slot padding, so
+        # every later (smaller-Z) probe reuses one rounding executable —
+        # compile-once per search instead of per pow2 bucket.  A smaller Z in
+        # a wider pad is exact (slots >= Z are masked).
+        z_pad = default_z_pad_ell(ell, Z)
+        if self._pinned_zpad is not None and self._pinned_zpad[0] == id(ell):
+            z_pad = max(z_pad, self._pinned_zpad[1])
+        self._pinned_zpad = (id(ell), z_pad)
         self._ncall += 1
         key = jax.random.fold_in(self._key, 10_000_000 + self._ncall)
-        return rounding_ell(Z, gX, ell, key,
+        return rounding_ell(Z, gX, ell, key, Z_pad=z_pad,
                             nattempt=nattempt or self.nattempt)
