@@ -40,7 +40,7 @@ def tree_bytes(tree):
 
 
 def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
-         do_rounding=False, out_path=None):
+         do_rounding=False, out_path=None, lanczos_m=8):
     import jax
     import jax.numpy as jnp
 
@@ -144,7 +144,7 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
 
         fn = jax.jit(lambda e, k, b: mmw_solve_ell(
             e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
-            lanczos_m=8, bcsr=b))
+            lanczos_m=lanczos_m, bcsr=b))
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         lowered = fn.lower(ell, key, ops)
@@ -211,8 +211,9 @@ if __name__ == "__main__":
     ap.add_argument("--nit", type=int, default=3)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--d-pad", type=int, default=None)
+    ap.add_argument("--lanczos-m", type=int, default=8)
     ap.add_argument("--rounding", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, nit=a.nit, block=a.block, d_pad=a.d_pad,
-         do_rounding=a.rounding, out_path=a.out)
+         do_rounding=a.rounding, out_path=a.out, lanczos_m=a.lanczos_m)
