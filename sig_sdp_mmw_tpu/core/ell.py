@@ -109,6 +109,80 @@ class EllState:
         return int(q_deg[np.asarray(self.mask)].max(initial=0)) + 1
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllSlim:
+    """The subset of :class:`EllState` the BLOCK-NATIVE solver actually
+    reads — [Kp] and [E_pad] vectors only.  At million-link scale the full
+    EllState is ~2.5 GB of ELL index/value arrays that the BCSR path never
+    touches; solving against the slim state leaves all of that on the host
+    (the full state is only needed later, for rounding/verification).
+
+    ``S_sum``/``row2`` are the S̃ row sums and squared row sums that
+    :func:`sig_sdp_mmw_tpu.models.mmw_ell.mmw_solve_ell` otherwise derives
+    from ``s_vals`` (norm_H preprocessing, ``mmw.py:26-41``)."""
+
+    S_sum: jax.Array   # [Kp]
+    row2: jax.Array    # [Kp]
+    a_i: jax.Array     # [E_pad] int32
+    a_j: jax.Array     # [E_pad] int32
+    a_mask: jax.Array  # [E_pad] bool
+    h_max: jax.Array   # [Kp]
+    mask: jax.Array    # [Kp] bool
+    K: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def Kp(self) -> int:
+        return self.mask.shape[0]
+
+    @property
+    def E_pad(self) -> int:
+        return self.a_i.shape[0]
+
+
+def ell_slim(ell: EllState) -> EllSlim:
+    """Slim view of a built EllState (device reductions over s_vals)."""
+    return EllSlim(
+        S_sum=jnp.sum(ell.s_vals, axis=1),
+        row2=jnp.sum(ell.s_vals * ell.s_vals, axis=1),
+        a_i=ell.a_i, a_j=ell.a_j, a_mask=ell.a_mask,
+        h_max=ell.h_max, mask=ell.mask, K=ell.K)
+
+
+def ell_slim_from_csr(S_csr, Q_csr, h_max, pad_rows_to: Optional[int] = None,
+                      dtype=np.float32) -> EllSlim:
+    """Build the slim state straight from the scipy CSR pair — no [Kp, deg]
+    ELL arrays are ever materialized (the million-link solve path)."""
+    import scipy.sparse
+
+    S = S_csr.tocsr()
+    Q = Q_csr.tocsr()
+    K = S.shape[0]
+    Kp = pad_rows_to or _round_up(K, 8)
+    St = build_st_csr(S, Q)
+    S_sum = np.zeros(Kp, dtype)
+    row2 = np.zeros(Kp, dtype)
+    S_sum[:K] = np.asarray(St.sum(axis=1)).ravel()
+    row2[:K] = np.asarray(St.multiply(St).sum(axis=1)).ravel()
+
+    Qu = scipy.sparse.triu(Q, k=1).tocoo()
+    E = Qu.nnz
+    E_pad = _round_up(E, 8)
+    a_i = np.zeros(E_pad, np.int32)
+    a_j = np.zeros(E_pad, np.int32)
+    a_mask = np.zeros(E_pad, bool)
+    a_i[:E], a_j[:E], a_mask[:E] = Qu.row, Qu.col, True
+
+    hm = np.zeros(Kp, dtype)
+    hm[:K] = np.asarray(h_max, dtype)
+    mask = np.zeros(Kp, bool)
+    mask[:K] = True
+    return EllSlim(S_sum=jnp.asarray(S_sum), row2=jnp.asarray(row2),
+                   a_i=jnp.asarray(a_i), a_j=jnp.asarray(a_j),
+                   a_mask=jnp.asarray(a_mask), h_max=jnp.asarray(hm),
+                   mask=jnp.asarray(mask), K=K)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
 

@@ -178,7 +178,7 @@ def mmw_solve(state: SigState, Z, *, nit: int, eta: float, rank_radio: int = 2,
                             jnp.max(jnp.where(mH, eH_a, neg)))))
             L_avg = _loss_matrix(YaD / n_step, YaF / n_step, YaH / n_step,
                                  op, Zf, K, Kp)
-            gkey = jax.random.fold_in(key, 2 * nit + 7)
+            gkey = jax.random.fold_in(key, 2 * nit + 7 + i)
             lam_min, _ = lanczos_extreme_eigs(
                 lambda V: lax.dot(L_avg, V, precision=_PREC), gkey, Kp,
                 m=gap_lanczos_m, dtype=dtype)
@@ -207,7 +207,7 @@ def mmw_solve(state: SigState, Z, *, nit: int, eta: float, rank_radio: int = 2,
 
         X_half, _sigma = lanczos_expm_multiply(
             lambda V: 0.5 * lax.dot(L_accu, V, precision=_PREC), G,
-            m=lanczos_m, small_method="pade", norm_bound=eta * nit)
+            m=lanczos_m, small_method="taylor_ss", norm_bound=eta * nit)
 
         md = jnp.sum(X_half * X_half, axis=1)
         X_trace = jnp.sum(md) / K
@@ -298,7 +298,7 @@ def make_mmw_phase_fns(*, nit: int, eta: float, rank_radio: int, D_pad: int,
         G = jnp.where(rn > 0, G / jnp.where(rn > 0, rn, 1.0), 0.0)
         X_half, _ = lanczos_expm_multiply(
             lambda V: 0.5 * lax.dot(L_accu, V, precision=_PREC), G,
-            m=lanczos_m, small_method="pade", norm_bound=eta * nit)
+            m=lanczos_m, small_method="taylor_ss", norm_bound=eta * nit)
         md = jnp.sum(X_half * X_half, axis=1)
         X_trace = jnp.sum(md) / K
         X_mdiag = jnp.where(op.mask, md / X_trace, 0.0)

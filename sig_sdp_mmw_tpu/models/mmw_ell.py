@@ -24,6 +24,7 @@ SAME implicit operator as the solve itself — no densification at any size.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Optional
 
 import jax
@@ -72,18 +73,27 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                   key: jax.Array, lanczos_m: Optional[int] = None,
                   log_gap: bool = False, gap_lanczos_m: int = 32,
                   reorth: bool = True,
-                  rsvd_iters: int = 3, bcsr=None) -> MMWEllOutput:
+                  rsvd_iters: int = 3, bcsr=None,
+                  factorize: bool = True,
+                  spmm_row_chunk: Optional[int] = None) -> MMWEllOutput:
     """``bcsr``: optional :class:`sig_sdp_mmw_tpu.ops.bcsr.BcsrOperands`.
     When provided, EVERY per-iteration O(nnz*D) operation — the Lanczos
     matvecs, the association-edge operator and the pattern-restricted Gram
     accumulation — runs as block-sparse batched matmuls on the MXU instead
-    of row gathers (the block-native large-graph mode)."""
+    of row gathers (the block-native large-graph mode).  In that mode
+    ``ell`` may be the full :class:`EllState` or the memory-lean
+    :class:`sig_sdp_mmw_tpu.core.ell.EllSlim` (no O(K*deg) arrays on
+    device).  ``spmm_row_chunk`` bounds the fused-SpMM gather transient at
+    very large K (see :func:`sig_sdp_mmw_tpu.ops.bcsr.bcsr_spmm`)."""
     Kp = ell.Kp
     K = ell.K
     E_pad = ell.E_pad
-    dtype = ell.s_vals.dtype
-    Zf = jnp.asarray(Z, dtype)
     use_bcsr = bcsr is not None
+    is_slim = not hasattr(ell, "s_vals")
+    if is_slim and not use_bcsr:
+        raise ValueError("EllSlim is only valid with the BCSR backend")
+    dtype = ell.h_max.dtype if is_slim else ell.s_vals.dtype
+    Zf = jnp.asarray(Z, dtype)
     if use_bcsr:
         from sig_sdp_mmw_tpu.ops.bcsr import (BlockEll,
                                               bcsr_edge_gram_accum,
@@ -102,17 +112,26 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         def padV(V):
             return jnp.pad(V, ((0, padn), (0, 0))) if padn else V
 
+        q_dtype = bcsr.s_blocks.blocks.dtype
+
         def q_block_vals(edge_vals):
-            flat = jnp.zeros((Kbr * maxblkQ * Brow * Bcol,), dtype)
-            flat = flat.at[bcsr.q_pos].set(edge_vals[bcsr.q_eidx])
-            return flat.reshape(Kbr, maxblkQ, Brow, Bcol)
+            # Built in the block storage dtype (bfloat16 in lean mode —
+            # same precision class as the S̃ blocks; the SpMM still
+            # accumulates f32): halves a [Kbr, Br, maxblkQ, Bc] buffer that
+            # lives across the whole Lanczos chain.
+            flat = jnp.zeros((Kbr * maxblkQ * Brow * Bcol,), q_dtype)
+            flat = flat.at[bcsr.q_pos].set(edge_vals[bcsr.q_eidx].astype(q_dtype))
+            return flat.reshape(Kbr, Brow, maxblkQ, Bcol)
 
     if lanczos_m is None:
         lanczos_m = mmw_default_lanczos_m(eta, nit)
 
     # ---- preprocessing (mmw.py:26-41) -------------------------------------
-    S_sum = jnp.sum(ell.s_vals, axis=1)
-    row2 = jnp.sum(ell.s_vals * ell.s_vals, axis=1)
+    if is_slim:
+        S_sum, row2 = ell.S_sum, ell.row2
+    else:
+        S_sum = jnp.sum(ell.s_vals, axis=1)
+        row2 = jnp.sum(ell.s_vals * ell.s_vals, axis=1)
     norm_H = (jnp.sqrt(row2) * (Zf - 1.0) / (2.0 * Zf)
               + jnp.abs(ell.h_max / K - S_sum / (K * Zf)))
     norm_H = jnp.where(ell.mask & (norm_H > 0), norm_H, 1.0)
@@ -156,17 +175,20 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
 
     if use_bcsr:
         def s_matvec(V):
-            return bcsr_spmm(bcsr.s_blocks, padV(V))[:Kp]
+            return bcsr_spmm(bcsr.s_blocks, padV(V),
+                             row_chunk=spmm_row_chunk)[:Kp]
 
         if bcsr.st_blocks is not None:
             def st_matvec(V):
-                return bcsr_spmm(bcsr.st_blocks, padV(V))[:Kp]
+                return bcsr_spmm(bcsr.st_blocks, padV(V),
+                                 row_chunk=spmm_row_chunk)[:Kp]
         else:
             # Memory-lean mode: S̃ᵀ is not stored; scatter through S̃.
             def st_matvec(V):
                 return bcsr_spmm_transpose(bcsr.s_blocks.bcols,
                                            bcsr.s_blocks.blocks,
-                                           padV(V))[:Kp]
+                                           padV(V),
+                                           row_chunk=spmm_row_chunk)[:Kp]
     else:
         def s_matvec(V):
             return ell_spmm(ell.s_cols, ell.s_vals, V)
@@ -249,7 +271,7 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                 def q_matvec_bar(V):
                     return _q_apply(ell, f_bar, V)
 
-            lkey = jax.random.fold_in(key, 2 * nit + 7)
+            lkey = jax.random.fold_in(key, 2 * nit + 7 + i)
             lam_min, _ = lanczos_extreme_eigs(
                 lambda V: L_apply(d_bar, q_matvec_bar, h_bar, V), lkey, Kp,
                 m=gap_lanczos_m, dtype=dtype)
@@ -288,7 +310,7 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
 
         X_half, _ = lanczos_expm_multiply(
             lambda V: 0.5 * L_apply(d_accu, q_matvec, hrow, V), G,
-            m=lanczos_m, reorth=reorth, small_method="pade",
+            m=lanczos_m, reorth=reorth, small_method="taylor_ss",
             norm_bound=eta * nit)
 
         md = jnp.sum(X_half * X_half, axis=1)
@@ -343,14 +365,22 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         jnp.maximum(jnp.max(jnp.where(ell.a_mask, eF, neg)),
                     jnp.max(jnp.where(ell.mask, eH, neg)))))
 
+    if not factorize:
+        # Memory-bisection / telemetry mode: skip the averaged-primal
+        # factorization (the epilogue) entirely.
+        return MMWEllOutput(X_half=jnp.zeros((Kp, rank_pad), dtype),
+                            ub_final=ub_final, gap_log=c["gap"])
+
     if use_bcsr:
         # Scatter the symmetrization-weighted averaged edge values back into
         # a block operator (the transient full block array exists only here,
-        # once, not inside the iteration loop).
+        # once, not inside the iteration loop).  Stored in the block dtype
+        # (bfloat16 in lean mode): at million-link scale the f32 version of
+        # this single buffer is 3+ GB — a major piece of the K=750k OOM.
         avg_vals = (c["avg_edge"][:nnz_s] / nit) * bcsr.w_edge.astype(dtype)
-        flat = jnp.zeros((Kbr * maxblk * Brow * Bcol,), dtype)
-        wavg = flat.at[bcsr.s_pos].set(avg_vals).reshape(
-            Kbr, maxblk, Brow, Bcol)
+        flat = jnp.zeros((Kbr * maxblk * Brow * Bcol,), q_dtype)
+        wavg = flat.at[bcsr.s_pos].set(avg_vals.astype(q_dtype)).reshape(
+            Kbr, Brow, maxblk, Bcol)
         q_avg = q_block_vals(avg_F)
         avg_bell = BlockEll(bcols=bcsr.s_blocks.bcols, blocks=wavg,
                             nrows=nrows)
@@ -360,8 +390,9 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
             Vp = padV(V)
             t = avg_mdiag[:, None] * V
             t = t + bcsr_spmm(q_bell, Vp)[:Kp]
-            t = t + bcsr_spmm(avg_bell, Vp)[:Kp]
-            t = t + bcsr_spmm_transpose(bcsr.s_blocks.bcols, wavg, Vp)[:Kp]
+            t = t + bcsr_spmm(avg_bell, Vp, row_chunk=spmm_row_chunk)[:Kp]
+            t = t + bcsr_spmm_transpose(bcsr.s_blocks.bcols, wavg, Vp,
+                                        row_chunk=spmm_row_chunk)[:Kp]
             return t
     else:
         avg_s = c["avg_s"] / nit * ell.s_xw
@@ -426,13 +457,20 @@ class MMWEll(_StatsObject):
         self._ncall = 0
         self._jit_cache = {}
         self._bcsr = None
-        self._bcsr_for = None
+        self._bcsr_for = None   # weakref to the EllState prepare() ran for
         # Sticky sketch-width bucket: the first probe of a binary search pins
         # the (D_pad, rank_pad) bucket so every later (smaller-Z) probe reuses
         # the same executable — no mid-search recompiles (r2 weak #1).  Only
         # the rare "shift window up" case can grow it (one extra compile).
-        self._pinned = None   # (state id, D_pad, rank_pad)
-        self._pinned_zpad = None   # (state id, rounding Z_pad bucket)
+        # Pins hold a WEAKREF to the state (not id(): CPython reuses ids
+        # after GC, which would let a new state inherit a stale pin); a dead
+        # ref simply never matches, so pins die with their state.
+        self._pinned = None   # (weakref(state), D_pad, rank_pad)
+        self._pinned_zpad = None   # (weakref(state), rounding Z_pad bucket)
+
+    @staticmethod
+    def _pin_matches(pin, ell) -> bool:
+        return pin is not None and pin[0]() is ell
 
     def prepare(self, ell: EllState, S_csr=None, Q_csr=None, block: int = 128,
                 **bcsr_kw):
@@ -451,7 +489,7 @@ class MMWEll(_StatsObject):
                     f"smaller than the EllState padding (Kp={ell.Kp}); "
                     f"rebuild the EllState with the default pad_rows_to or "
                     f"pass pad_rows_to={ell.Kp} to bcsr_operands_from_state")
-            self._bcsr_for = id(ell)
+            self._bcsr_for = weakref.ref(ell)
         return self
 
     def _d_pad_for(self, ell: EllState, Z: int):
@@ -494,14 +532,14 @@ class MMWEll(_StatsObject):
             # this state's first probe, so a descending binary search never
             # recompiles (a smaller Z in a wider bucket is exact — D_act
             # masks the extra columns).
-            if self._pinned is not None and self._pinned[0] == id(ell):
+            if self._pin_matches(self._pinned, ell):
                 D_pad = max(D_pad, self._pinned[1])
                 rank_pad = max(rank_pad, self._pinned[2])
-            self._pinned = (id(ell), D_pad, rank_pad)
+            self._pinned = (weakref.ref(ell), D_pad, rank_pad)
         else:
             rank_pad = min(D_pad, ell.Kp - 1)
-        bcsr = self._bcsr if (self.use_bcsr and self._bcsr_for == id(ell)) \
-            else None
+        bcsr = self._bcsr if (self.use_bcsr and self._bcsr_for is not None
+                              and self._bcsr_for() is ell) else None
         if self.use_bcsr and bcsr is None:
             raise RuntimeError("use_bcsr=True: call prepare(ell, S, Q) first")
         fn = self._solver_fn(D_pad, rank_pad)
@@ -523,9 +561,9 @@ class MMWEll(_StatsObject):
         # compile-once per search instead of per pow2 bucket.  A smaller Z in
         # a wider pad is exact (slots >= Z are masked).
         z_pad = default_z_pad_ell(ell, Z)
-        if self._pinned_zpad is not None and self._pinned_zpad[0] == id(ell):
+        if self._pin_matches(self._pinned_zpad, ell):
             z_pad = max(z_pad, self._pinned_zpad[1])
-        self._pinned_zpad = (id(ell), z_pad)
+        self._pinned_zpad = (weakref.ref(ell), z_pad)
         self._ncall += 1
         key = jax.random.fold_in(self._key, 10_000_000 + self._ncall)
         return rounding_ell(Z, gX, ell, key, Z_pad=z_pad,

@@ -148,7 +148,11 @@ def default_z_pad_ell(ell: EllState, Z: int = None) -> int:
     search window's upper bound — at K~100k with ub~108 the late (small-Z)
     probes shrink ~4x.  Power-of-two bucketing keeps the executable count
     logarithmic over a binary search; slots >= Z are masked (`slot_ok`), so
-    the trajectory is Z_pad-invariant for any Z_pad >= Z."""
+    a smaller Z inside a wider pad remains a VALID randomized attempt.
+    (Note the trajectory is not bit-identical across pads: threefry derives
+    each element's bits from the full draw shape, so ``normal(key, (Z_pad,
+    D))`` yields different vectors per Z_pad bucket — masking guarantees
+    correctness, not cross-bucket reproducibility.)"""
     if Z is not None:
         return 1 << (max(int(Z), 16) - 1).bit_length()
     _, ub = ell.degree_bounds()

@@ -19,7 +19,6 @@ lives in :mod:`sig_sdp_mmw_tpu.parallel.batch`.
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import numpy as np
@@ -61,34 +60,39 @@ class BinarySearchRelaxation(StatsObject):
         self._add_np_log("bs_search", 0, np.array([left, right, Z, rem, it, tim]))
         return z_vec, Z, rem
 
-    def search(self, left: int, right: int, state: SigState):
+    def search(self, lo: int, hi: int, state: SigState):
+        """Feasibility bisection over the window [lo, hi], reference
+        semantics (``binary_search_relaxation.py:44-72``): a feasible probe
+        (rem == 0) shrinks the window from above, an infeasible one from
+        below, and if the window collapses while still infeasible — the
+        degree bounds were optimistic — the whole window slides up by one
+        and probing continues."""
         it = 0
-        to_break = False
         alg = self.feasibility_check_alg
         while True:
-            mid = math.floor(float(left + right) / 2.0)
+            mid = (lo + hi) // 2
             slv_tic = self._get_tic()
-            f, gX = alg.run_with_state(it, mid, state)
+            _, gX = alg.run_with_state(it, mid, state)
             slv_tim = self._get_tim(slv_tic, sync=gX)
             rnd_tic = self._get_tic()
             z_vec, Z, rem = alg.rounding(mid, gX, state)
             rnd_tim = self._get_tim(rnd_tic)
             self._add_np_log("bs_search_per_it", it,
-                             np.array([left, right, mid, Z, rem, slv_tim, rnd_tim]))
+                             np.array([lo, hi, mid, Z, rem, slv_tim, rnd_tim]))
             it += 1
-            if left < right and rem > 0:
-                left = mid + 1
-            elif left + 1 < right and rem == 0:
-                right = mid
-            elif left + 1 == right and rem == 0:
-                to_break = True
-            elif left >= right and rem == 0:
-                to_break = True
-            elif left >= right and rem > 0:
-                left += 1
-                right += 1
-
-            self._printalltime(f"bs window=[{left},{right}] mid={mid} Z={Z} rem={rem}")
-            if to_break:
-                break
-        return Z, z_vec, rem, it
+            feasible = rem == 0
+            if feasible and hi <= lo + 1:
+                # Window closed on a feasible mid: Z found.
+                done = True
+            else:
+                done = False
+                if feasible:
+                    hi = mid
+                elif lo < hi:
+                    lo = mid + 1
+                else:
+                    lo, hi = lo + 1, hi + 1   # collapsed + infeasible: slide up
+            self._printalltime(
+                f"bs window=[{lo},{hi}] mid={mid} Z={Z} rem={rem}")
+            if done:
+                return Z, z_vec, rem, it

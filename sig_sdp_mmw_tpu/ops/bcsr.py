@@ -6,9 +6,11 @@ interference graph, however, is *spatially local* (users only hear APs
 within a cutoff — :func:`sig_sdp_mmw_tpu.env.large.interference_cutoff_m`),
 so after reordering users by grid cell the sparse matrix is banded.  We
 store it as **block-ELL**: for each 128-row block, a padded list of nonempty
-128x128 column blocks.  The SpMM is then a fori over block slots where each
-step is a batched [128,128] x [128,D] matmul — pure MXU work, with gathers
-only at whole-block granularity (contiguous, fast).
+128x128 column blocks, laid out [Kbr, Br, maxblk, Bc] so the slot axis
+flattens into the contraction axis for free.  The SpMM is then ONE batched
+[Br, maxblk*Bc] x [maxblk*Bc, D] ``dot_general`` per block-row — pure MXU
+work with a deep pipeline, and gathers only at whole-block granularity
+(contiguous, fast).
 
 Memory trades FLOPs for bandwidth: blocks are stored dense (zeros included),
 profitable whenever block fill is above ~1% (MXU speed / gather speed).
@@ -40,8 +42,13 @@ def _block_pair(block) -> Tuple[int, int]:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockEll:
+    """Block-ELL sparse matrix.  ``blocks`` is stored [Kbr, Brow, maxblk,
+    Bcol] — the slot axis INSIDE the row axis — so that flattening
+    (maxblk, Bcol) into one contraction axis is a free reshape and the whole
+    SpMM is a single batched ``dot_general`` (see :func:`bcsr_spmm`)."""
+
     bcols: jax.Array    # [Kbr, maxblk] int32 — column-block indices
-    blocks: jax.Array   # [Kbr, maxblk, Brow, Bcol] — dense block values
+    blocks: jax.Array   # [Kbr, Brow, maxblk, Bcol] — dense block values
     nrows: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -50,7 +57,7 @@ class BlockEll:
 
     @property
     def Brow(self) -> int:
-        return self.blocks.shape[-2]
+        return self.blocks.shape[1]
 
     @property
     def Kb(self) -> int:
@@ -92,11 +99,11 @@ def _bcsr_arrays_np(M, block=128, pad_rows_to: int = None,
     slot_of_uniq[order] = slots
     bcols[ubr[order], slots] = ubc[order]
 
-    blocks = np.zeros((Kbr, maxblk, Br, Bc), dtype)
+    blocks = np.zeros((Kbr, Br, maxblk, Bc), dtype)
     slot_of_entry = slot_of_uniq[inv]
     rloc = coo.row % Br
     cloc = coo.col % Bc
-    blocks[br, slot_of_entry, rloc, cloc] = coo.data
+    blocks[br, rloc, slot_of_entry, cloc] = coo.data
     if return_entry_maps:
         return bcols, blocks, Kp, (br, slot_of_entry, rloc, cloc)
     return bcols, blocks, Kp
@@ -111,13 +118,26 @@ def bcsr_from_csr(M, block: int = 128, pad_rows_to: int = None,
 
 
 def bcsr_spmm(mat: BlockEll, V: jax.Array,
-              precision=lax.Precision.HIGHEST) -> jax.Array:
+              precision=lax.Precision.HIGHEST,
+              row_chunk: Optional[int] = None) -> jax.Array:
     """BlockEll [Kp, Kp] x [Kp, D] -> [Kp, D]; all-MXU.
+
+    ONE batched ``dot_general``: for each block-row, the maxblk stored
+    blocks form one [Br, maxblk*Bc] matrix (free reshape thanks to the
+    [Kbr, Br, maxblk, Bc] storage layout) contracted against the gathered
+    [maxblk*Bc, D] stack of V column-blocks.  This replaces the previous
+    slot-serialized fori_loop (one small matmul per slot, ~30 GB/s measured
+    at K=100k — SPMM_BENCH.json) with a single deep-pipeline contraction.
 
     Blocks may be stored in a narrower dtype (bfloat16) than V; the MXU
     multiplies in the block dtype and accumulates in V.dtype (float32) via
     ``preferred_element_type`` — the memory-lean large-graph mode.  Blocks
-    may be rectangular (Brow x Bcol, e.g. 8x128 = one native TPU tile)."""
+    may be rectangular (Brow x Bcol, e.g. 8x128 = one native TPU tile).
+
+    ``row_chunk``: process block-rows in chunks of this size (memory lean:
+    the gathered V stack is [row_chunk, maxblk, Bc, D] instead of
+    [Kbr, ...]).  None = fully fused.
+    """
     Br, Bc = mat.Brow, mat.B
     Kbr = mat.Kb
     Kbc = mat.nrows // Bc
@@ -126,14 +146,32 @@ def bcsr_spmm(mat: BlockEll, V: jax.Array,
     Vb = V.astype(mat.blocks.dtype).reshape(Kbc, Bc, D)
     maxblk = mat.bcols.shape[1]
 
-    def slot(s, acc):
-        rhs = Vb[mat.bcols[:, s]]                  # block-granular gather
-        return acc + lax.dot_general(
-            mat.blocks[:, s], rhs,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    def rows(blocks, bcols):
+        R = Vb[bcols]                                # [kb, maxblk, Bc, D]
+        return lax.dot_general(
+            blocks, R,
+            dimension_numbers=(((2, 3), (1, 2)), ((0,), (0,))),
             precision=precision, preferred_element_type=acc_dtype)
 
-    out = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kbr, Br, D), acc_dtype))
+    if row_chunk is None or row_chunk >= Kbr:
+        out = rows(mat.blocks, mat.bcols)            # [Kbr, Br, D]
+        return out.reshape(Kbr * Br, D)
+
+    nfull = Kbr // row_chunk
+    out = jnp.zeros((Kbr, Br, D), acc_dtype)
+
+    def chunk(c, acc):
+        i = c * row_chunk
+        o = rows(lax.dynamic_slice_in_dim(mat.blocks, i, row_chunk),
+                 lax.dynamic_slice_in_dim(mat.bcols, i, row_chunk))
+        return lax.dynamic_update_slice_in_dim(acc, o, i, axis=0)
+
+    out = lax.fori_loop(0, nfull, chunk, out)
+    rem = Kbr - nfull * row_chunk
+    if rem:
+        o = rows(mat.blocks[nfull * row_chunk:], mat.bcols[nfull * row_chunk:])
+        out = lax.dynamic_update_slice_in_dim(out, o, nfull * row_chunk,
+                                              axis=0)
     return out.reshape(Kbr * Br, D)
 
 
@@ -142,10 +180,7 @@ def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
                      interpret: bool = False) -> jax.Array:
     """Pallas block-sparse SpMM: same contract as :func:`bcsr_spmm`.
 
-    The XLA ``fori_loop``-over-slots formulation serializes one whole
-    [Kbr, Br, Bc] x gathered-[Kbr, Bc, D] batched matmul per slot, leaving
-    the chip far below HBM bandwidth (measured ~30 GB/s at K=100k —
-    SPMM_BENCH.json).  This kernel instead walks a (Kbr, maxblk) grid with
+    This kernel walks a (Kbr, maxblk) grid with
     the column-block ids as a scalar-prefetch operand, so Mosaic's pipeline
     DMAs each [Br, Bc] value block and its gathered [Bc, D] slice of V while
     the MXU multiplies the previous pair — the canonical TPU block-sparse
@@ -169,7 +204,7 @@ def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        out_ref[...] += jnp.dot(blocks_ref[0, 0],
+        out_ref[...] += jnp.dot(blocks_ref[0, :, 0, :],
                                 v_ref[...].astype(blk_dtype),
                                 preferred_element_type=acc_dtype)
 
@@ -177,7 +212,7 @@ def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
         num_scalar_prefetch=1,
         grid=(Kbr, maxblk),
         in_specs=[
-            pl.BlockSpec((1, 1, Br, Bc), lambda i, s, bcols: (i, s, 0, 0)),
+            pl.BlockSpec((1, Br, 1, Bc), lambda i, s, bcols: (i, 0, s, 0)),
             pl.BlockSpec((Bc, D), lambda i, s, bcols: (bcols[i, s], 0)),
         ],
         out_specs=pl.BlockSpec((Br, D), lambda i, s, bcols: (i, 0)),
@@ -287,9 +322,9 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     g_src[eslot[order], within] = src_pos[order]
     g_dst[eslot[order], within] = np.arange(nnz)[order]
 
-    # Position of entry e in the full [Kbr, maxblk, Br, Bc] block array (for
+    # Position of entry e in the full [Kbr, Br, maxblk, Bc] block array (for
     # scattering averaged edge values back into an operator at the end):
-    s_pos = (((ebr * maxblk + eslot) * Br + erloc) * Bc
+    s_pos = (((ebr * Br + erloc) * maxblk + eslot) * Bc
              + ecloc).astype(np.int32)
 
     # Symmetrization weights, aligned with St's CSR entry order.
@@ -345,7 +380,8 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     q_bcols[ubr, slots_of_uniq] = ubc
 
     slot_of_edge = slots_of_uniq[np.searchsorted(uniq, blk_id)]
-    q_pos = (((bi * maxblkQ + slot_of_edge) * Br + ii % Br) * Bc
+    # Flat position in the [Kbr, Br, maxblkQ, Bc] association block array.
+    q_pos = (((bi * Br + ii % Br) * maxblkQ + slot_of_edge) * Bc
              + jj % Bc).astype(np.int32)
 
     return BcsrOperands(
@@ -427,30 +463,49 @@ def bcsr_block_gram_accum(bcols: jax.Array, Xb: jax.Array, acc: jax.Array,
 
 def bcsr_spmm_transpose(mat_bcols: jax.Array, blocks: jax.Array,
                         V: jax.Array,
-                        precision=lax.Precision.HIGHEST) -> jax.Array:
+                        precision=lax.Precision.HIGHEST,
+                        row_chunk: Optional[int] = None) -> jax.Array:
     """``A^T @ V`` where A is given in BlockEll form (bcols, blocks):
-    per-slot contributions scattered by target block via segment_sum."""
+    all per-(row, slot) contributions ``blocks[k, :, s, :]^T @ Vr[k]`` from
+    ONE batched ``dot_general``, scatter-added into the output column
+    blocks.  ``row_chunk`` bounds the [*, maxblk, Bc, D] contribution
+    transient at large K (None = fully fused)."""
     Kbr, maxblk = mat_bcols.shape
-    Br, Bc = blocks.shape[-2], blocks.shape[-1]
+    Br, Bc = blocks.shape[1], blocks.shape[-1]
     nrows = Kbr * Br
     Kbc = nrows // Bc
     D = V.shape[1]
     acc_dtype = V.dtype
     Vr = V.astype(blocks.dtype).reshape(Kbr, Br, D)
 
-    # Slot-by-slot scatter-add: contrib_s[k] = blocks[k, s]^T @ Vr[k] lands
-    # in output column-block bcols[k, s].  One [Kbr, Bc, D] buffer per step
-    # instead of the full [Kbr*maxblk, Bc, D] segment-sum operand (3GB+ at
-    # million-link scale — the difference between fitting in HBM and OOM).
-    def slot(s, acc):
-        contrib = lax.dot_general(
-            blocks[:, s], Vr,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            precision=precision,
-            preferred_element_type=acc_dtype)            # [Kbr, Bc, D]
-        return acc.at[mat_bcols[:, s]].add(contrib)
+    def contribs(blk, v):
+        # [kb, Br, maxblk, Bc] x [kb, Br, D] -> [kb, maxblk, Bc, D]
+        return lax.dot_general(
+            blk, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=precision, preferred_element_type=acc_dtype)
 
-    seg = lax.fori_loop(0, maxblk, slot, jnp.zeros((Kbc, Bc, D), acc_dtype))
+    seg0 = jnp.zeros((Kbc, Bc, D), acc_dtype)
+    if row_chunk is None or row_chunk >= Kbr:
+        c = contribs(blocks, Vr).reshape(Kbr * maxblk, Bc, D)
+        seg = seg0.at[mat_bcols.reshape(-1)].add(c)
+        return seg.reshape(nrows, D)
+
+    nfull = Kbr // row_chunk
+
+    def chunk(ci, acc):
+        i = ci * row_chunk
+        c = contribs(lax.dynamic_slice_in_dim(blocks, i, row_chunk),
+                     lax.dynamic_slice_in_dim(Vr, i, row_chunk))
+        ids = lax.dynamic_slice_in_dim(mat_bcols, i, row_chunk)
+        return acc.at[ids.reshape(-1)].add(
+            c.reshape(row_chunk * maxblk, Bc, D))
+
+    seg = lax.fori_loop(0, nfull, chunk, seg0)
+    rem = Kbr - nfull * row_chunk
+    if rem:
+        c = contribs(blocks[nfull * row_chunk:], Vr[nfull * row_chunk:])
+        seg = seg.at[mat_bcols[nfull * row_chunk:].reshape(-1)].add(
+            c.reshape(rem * maxblk, Bc, D))
     return seg.reshape(nrows, D)
 
 

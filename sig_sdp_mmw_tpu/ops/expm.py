@@ -119,7 +119,10 @@ def lanczos_tridiag(matvec: MatVec, V: jax.Array, m: int, reorth: bool = True
         alive = beta > 1e-8 * jnp.maximum(beta0, 1e-20)
         beta_out = jnp.where(alive, beta, 0.0)
         q_next = _safe_div(w, beta_out)
-        Q = jnp.where((jnp.arange(m) == j + 1)[:, None, None], q_next[None], Q)
+        # In-place-aliasable slot write (a full-Q jnp.where select forces a
+        # second [m, K, D] buffer in the scan carry — at K=750k that is an
+        # extra 1+ GB of XLA temp).
+        Q = jax.lax.dynamic_update_index_in_dim(Q, q_next, j + 1, axis=0)
         return (Q, q, q_next, beta_out), (alpha, beta_out)
 
     init = (Q0, jnp.zeros_like(q0), q0, jnp.zeros((D,), dtype))
@@ -153,8 +156,9 @@ def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
     off = jax.vmap(lambda x: jnp.diag(x, k=1))(b)
     T = T + off + jnp.swapaxes(off, -1, -2)
 
-    if small_method == "pade":
-        # Matmul-only small expm (fast path on TPU; see _expm_e1_batched_sym).
+    if small_method == "taylor_ss":
+        # Matmul-only small expm: static Taylor scaling-and-squaring (fast
+        # path on TPU; see _expm_e1_batched_sym).
         nb = norm_bound if norm_bound is not None else float(m)
         coeff, sigma = _expm_e1_batched_sym(T, nb)
     else:

@@ -206,6 +206,41 @@ def test_sparse_mmw_bcsr_memory_lean_modes(ell_state, dense_state, fix):
         assert np.abs(G - Gr).max() < max(tol, 5e-3) * max(np.abs(Gr).max(), 1e-9)
 
 
+def test_sparse_mmw_slim_state_and_row_chunk(ell_state, dense_state, fix):
+    """EllSlim (no O(K*deg) device arrays) and chunked fused SpMM must
+    reproduce the full-state fused trajectory; slim is the million-link
+    argument-memory mode."""
+    from sig_sdp_mmw_tpu.core.ell import ell_slim_from_csr
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S, Q, h = state_to_scipy(dense_state)
+    ops = bcsr_operands_from_state(S, Q, block=16)
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    ref = jax.jit(lambda e, k, b: mmw_solve_ell(
+        e, Z, nit=20, eta=0.05, D_pad=32, rank_pad=32, key=k, bcsr=b)
+    )(ell_state, key, ops)
+
+    slim = ell_slim_from_csr(S, Q, h, pad_rows_to=ell_state.Kp)
+    assert slim.Kp == ell_state.Kp and slim.E_pad == ell_state.E_pad
+    for chunk in (None, 7):
+        out = jax.jit(lambda e, k, b: mmw_solve_ell(
+            e, Z, nit=20, eta=0.05, D_pad=32, rank_pad=32, key=k, bcsr=b,
+            spmm_row_chunk=chunk))(slim, key, ops)
+        assert float(out.ub_final) == pytest.approx(float(ref.ub_final),
+                                                    abs=1e-5)
+        G = np.asarray(out.X_half) @ np.asarray(out.X_half).T
+        Gr = np.asarray(ref.X_half) @ np.asarray(ref.X_half).T
+        np.testing.assert_allclose(G, Gr,
+                                   atol=1e-4 * max(np.abs(Gr).max(), 1e-9))
+
+    # EllSlim without a BCSR backend must be rejected.
+    with pytest.raises(ValueError):
+        mmw_solve_ell(slim, Z, nit=2, eta=0.05, D_pad=32, rank_pad=32,
+                      key=key)
+
+
 def test_sparse_mmw_rounding_feasible(dense_state, ell_state, fix):
     Z = int(fix["Z_fin"])
     out = jax.jit(lambda s, k: mmw_solve_ell(s, float(Z), nit=150, eta=0.05,

@@ -60,7 +60,7 @@ def test_lanczos_expm_scale_invariant_inner_products():
 
 
 @pytest.mark.parametrize("norm", [1.0, 10.0, 40.0])
-def test_lanczos_expm_pade_matches_scipy(norm):
+def test_lanczos_expm_taylor_ss_matches_scipy(norm):
     K, D = 120, 16
     A = random_sym(K, norm, seed=int(norm))
     rng = np.random.default_rng(7)
@@ -70,7 +70,7 @@ def test_lanczos_expm_pade_matches_scipy(norm):
     Aj = jnp.asarray(A)
     m = default_lanczos_iters(norm)
     F, sigma = lanczos_expm_multiply(lambda X: Aj @ X, jnp.asarray(V), m=m,
-                                     small_method="pade", norm_bound=norm)
+                                     small_method="taylor_ss", norm_bound=norm)
     got = np.asarray(F) * np.exp(float(sigma))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * np.abs(want).max())
 

@@ -44,7 +44,7 @@ def try_cell(cell, block, d_pad, lanczos_m, nit=3):
     rec["build_s"] = round(time.time() - t0, 1)
     lb = int(np.diff(Q.indptr).max()) + 1
     Z = float(lb + 4)
-    D_pad = d_pad or ((int(Z) * 2 + 15) // 16) * 16
+    D_pad = d_pad if d_pad is not None else ((int(Z) * 2 + 15) // 16) * 16
     rec["D_pad"] = D_pad
 
     fn = jax.jit(lambda e, k, b: mmw_solve_ell(
@@ -70,7 +70,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, nargs="+", default=[520, 550, 580])
     ap.add_argument("--block", type=int, default=32)
-    ap.add_argument("--d-pad", type=int, default=32)
+    ap.add_argument("--d-pad", type=int, default=None)
     ap.add_argument("--lanczos-m", type=int, default=6)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args(argv)

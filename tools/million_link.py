@@ -116,7 +116,7 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
     # Working-set estimate for the solver at sketch width D.
     lb = int(np.diff(Q.indptr).max()) + 1
     Z = float(lb + 4)
-    D_pad = d_pad or ((int(Z) * 2 + 15) // 16) * 16
+    D_pad = d_pad if d_pad is not None else ((int(Z) * 2 + 15) // 16) * 16
     rec["lb"] = lb
     rec["Z_probe"] = Z
     rec["D_pad"] = D_pad
