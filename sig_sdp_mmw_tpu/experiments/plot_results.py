@@ -114,6 +114,54 @@ def plot_gap(data, out_dir, prefix="mmw-dual-", fname="duality_gap.pdf"):
     fig.savefig(os.path.join(out_dir, fname), bbox_inches="tight")
 
 
+def plot_gap_heatmap(data, out_dir, prefix="mmw-dual-",
+                     fname="duality_gap_heatmap.pdf"):
+    """(eta x iterations) heatmap of the normalized duality gap, one panel
+    per cell size — the reference's ``plot_duality_gap.py`` figure
+    (``sim_script/journal_version/plot_duality_gap.py:40-75``): metric rows
+    come in (UB, LB) pairs per run, gap = (UB - LB) normalized to its first
+    iteration, imshow with a log iteration axis."""
+    groups = collections.defaultdict(dict)   # cell -> eta_pct -> gap[t]
+    for name, rows in sorted(data.items()):
+        # our sim_all_mmw: mmw-dual-<cell>-<eta*100>
+        m = re.match(re.escape(prefix) + r"(\d+)-(\d+)$", name)
+        if not m or len(rows) < 2:
+            continue
+        cell, eta_idx = (int(g) for g in m.groups())
+        ub = np.asarray(rows[0])[2:]
+        lb = np.asarray(rows[1])[2:]
+        gap = ub - lb
+        if gap.size == 0 or gap[0] == 0:
+            continue
+        groups[cell][eta_idx] = gap / gap[0]
+    if not groups:
+        return
+    cells = sorted(groups)
+    plt, fig, _ = _fig(out_dir)
+    plt.close(fig)
+    fig, axs = plt.subplots(1, len(cells), figsize=(3 * len(cells), 2.6),
+                            squeeze=False)
+    for a, cell in enumerate(cells):
+        etas = sorted(groups[cell])
+        T = max(g.size for g in groups[cell].values())
+        img = np.full((len(etas), T), np.nan)
+        for r, ei in enumerate(etas):
+            g = groups[cell][ei]
+            img[r, : g.size] = g
+        ax = axs[0][a]
+        im = ax.imshow(img, cmap="viridis", aspect="auto", vmin=0, vmax=1)
+        ax.set_xscale("log")
+        ax.set_xlim(1, max(T, 2))
+        ax.set_yticks(range(len(etas)))
+        ax.set_yticklabels([f"{ei / 100:.02f}" for ei in etas], fontsize=6)
+        ax.set_xlabel("iterations")
+        ax.set_title(f"cell {cell}", fontsize=8)
+        if a == 0:
+            ax.set_ylabel(r"$\eta$")
+    fig.colorbar(im, ax=[axs[0][-1]], label="normalized gap")
+    fig.savefig(os.path.join(out_dir, fname), bbox_inches="tight")
+
+
 def plot_convergence(data, out_dir):
     for tag in ("conv-rho-", "conv-alp-"):
         plt, fig, ax = _fig(out_dir)
@@ -222,6 +270,7 @@ def main(argv=None):
     data = _read_metric_files(args.data_dir)
     plot_bler(data, out_dir)
     plot_gap(data, out_dir)
+    plot_gap_heatmap(data, out_dir)
     plot_convergence(data, out_dir)
     plot_time(data, out_dir)
     plot_online(data, out_dir)

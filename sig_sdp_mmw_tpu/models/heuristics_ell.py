@@ -36,10 +36,16 @@ from sig_sdp_mmw_tpu.models.rounding_ell import (
 from sig_sdp_mmw_tpu.utils.stats import StatsObject
 
 
+@jax.jit
 def incoming_gain_scores(ell: EllState) -> jnp.ndarray:
     """MAX_GAIN rank: total incoming interference per user — row sums of
     S^T with zero diagonal (``gm.py:18``).  The ELL state strips assoc-pair
-    gains from S-tilde, so they are added back from ``q_gain``."""
+    gains from S-tilde, so they are added back from ``q_gain``.
+
+    Jitted: on a tunneled TPU runtime every EAGER op is a separate remote
+    compile — an eager scatter at K=100k cost minutes (the 586s-vs-23s
+    MAX_GAIN mystery of E2E_LARGE r3); as one compiled call it is
+    milliseconds."""
     # s_vals row k holds S[j, k] for non-assoc in-neighbors j.
     base = jnp.sum(ell.s_vals, axis=1)
     # Incoming assoc-pair gains: q_gain[j, n] = S[j, q_cols[j, n]] scattered
@@ -49,9 +55,11 @@ def incoming_gain_scores(ell: EllState) -> jnp.ndarray:
     return jnp.where(ell.mask, base + asso_in, 0.0)
 
 
+@jax.jit
 def asso_degree_scores(ell: EllState) -> jnp.ndarray:
     """MAX_ASSO rank: association degree (``gm.py:81``)."""
-    return jnp.where(ell.mask, jnp.sum(ell.q_mask, axis=1), 0)
+    return jnp.where(ell.mask, jnp.sum(ell.q_mask, axis=1),
+                     0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("Z_pad",))
@@ -135,7 +143,7 @@ class MAX_GAIN_ELL(_ScoreHeuristicEll):
 class MAX_ASSO_ELL(_ScoreHeuristicEll):
     @classmethod
     def _scores(cls, ell: EllState):
-        return asso_degree_scores(ell).astype(jnp.float32)
+        return asso_degree_scores(ell)
 
 
 class MAX_RAND_ELL(StatsObject):

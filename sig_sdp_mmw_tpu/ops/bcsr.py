@@ -278,7 +278,9 @@ class BcsrOperands:
 def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
                              block=(8, 128), dtype=np.float32,
                              store_transpose: bool = False,
-                             weights_dtype=np.float32) -> BcsrOperands:
+                             weights_dtype=np.float32,
+                             pad_rows_to: Optional[int] = None
+                             ) -> BcsrOperands:
     """``block``: (Brow, Bcol) or int.  (8, 128) is one native TPU tile —
     zero layout padding; larger blocks lower the ELL fill.  ``dtype``:
     storage dtype of the value blocks — ``np.float32`` exact, or
@@ -301,6 +303,11 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     K = St.shape[0]
     lcm = Br * Bc // math.gcd(Br, Bc)
     nr = ((K + lcm - 1) // lcm) * lcm
+    if pad_rows_to is not None:
+        if pad_rows_to < nr or pad_rows_to % lcm:
+            raise ValueError(f"pad_rows_to must be a multiple of {lcm} "
+                             f">= {nr}, got {pad_rows_to}")
+        nr = pad_rows_to
     Kbr = nr // Br
     Kbc = nr // Bc
     s_bcols, s_vals_np, _, (ebr, eslot, erloc, ecloc) = _bcsr_arrays_np(

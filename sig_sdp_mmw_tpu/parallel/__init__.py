@@ -3,4 +3,5 @@ from sig_sdp_mmw_tpu.parallel.batch import (  # noqa: F401
     stack_states,
     solve_scenarios_batched,
     ParallelProbeSearch,
+    ParallelProbeSearchEll,
 )

@@ -191,3 +191,169 @@ class ParallelProbeSearch(StatsObject):
                                  jnp.asarray(candidates, jnp.int32), rkeys,
                                  Z_pad, self.nattempt)
         return np.asarray(z_vecs), np.asarray(rems), candidates
+
+
+class ParallelProbeSearchEll(StatsObject):
+    """Speculative multi-section Z search on the SPARSE (ELL/BCSR) backend —
+    the large-K counterpart of :class:`ParallelProbeSearch`.
+
+    At K~100k one MMW probe costs tens of seconds, so the reference's
+    sequential bisection (``binary_search_relaxation.py:44-72``) pays
+    ~log2(window) probe latencies end to end.  Here each WAVE solves
+    ``wave`` candidate Z values simultaneously — one vmap over the traced Z
+    (the state and BCSR operands are closed over, so they are NOT
+    replicated per candidate) — then the window narrows to the gap between
+    the largest infeasible and the smallest feasible candidate.  A wave of
+    W candidates splits the window into W-1 segments, so the search
+    resolves in ~log_{W-1}(window) waves instead of log2(window) probes.
+
+    Same ``run(ell) -> (z_vec, Z, rem)`` contract as
+    :class:`sig_sdp_mmw_tpu.models.search.BinarySearchRelaxation`.
+    """
+
+    def __init__(self, nit: int = 100, eta: float = 0.05, rank_radio: int = 2,
+                 nattempt: int = 3, seed: int = 0,
+                 lanczos_m: Optional[int] = None, wave: int = 4,
+                 use_bcsr: bool = False, spmm_row_chunk: Optional[int] = None):
+        self.nit = nit
+        self.eta = eta
+        self.rank_radio = rank_radio
+        self.nattempt = nattempt
+        self.lanczos_m = lanczos_m
+        self.wave = max(2, wave)
+        self.use_bcsr = use_bcsr
+        self.spmm_row_chunk = spmm_row_chunk
+        self._key = jax.random.PRNGKey(seed)
+        self._ncall = 0
+        self._bcsr = None
+        self._solve_cache = {}
+        self._round_cache = {}
+
+    def prepare(self, ell, S_csr=None, Q_csr=None, block: int = 128,
+                **bcsr_kw):
+        """Precompute BCSR operands (same contract as ``MMWEll.prepare``)."""
+        if self.use_bcsr:
+            from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+            if S_csr is None:
+                raise ValueError("use_bcsr=True needs the scipy (S, Q) pair")
+            self._bcsr = bcsr_operands_from_state(S_csr, Q_csr, block=block,
+                                                  **bcsr_kw)
+        return self
+
+    # -- jit caches ---------------------------------------------------------
+
+    def _solve_wave_fn(self, ell, D_pad, rank_pad):
+        sig = (D_pad, rank_pad)
+        if sig not in self._solve_cache:
+            from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+
+            bcsr = self._bcsr
+
+            def one(Z, key):
+                return mmw_solve_ell(
+                    ell, Z, nit=self.nit, eta=self.eta,
+                    rank_radio=self.rank_radio, D_pad=D_pad,
+                    rank_pad=rank_pad, key=key, lanczos_m=self.lanczos_m,
+                    bcsr=bcsr, spmm_row_chunk=self.spmm_row_chunk)
+
+            self._solve_cache[sig] = jax.jit(jax.vmap(one))
+        return self._solve_cache[sig]
+
+    def _round_wave_fn(self, ell, Z_pad):
+        if Z_pad not in self._round_cache:
+            from sig_sdp_mmw_tpu.models.rounding_ell import _rounding_single_ell
+
+            def one(gX, Z, key):
+                return _rounding_single_ell(ell, gX, Z, key, Z_pad)
+
+            self._round_cache[Z_pad] = jax.jit(jax.vmap(one))
+        return self._round_cache[Z_pad]
+
+    # -- search -------------------------------------------------------------
+
+    def _wave(self, ell, cands: np.ndarray, key):
+        """Solve + round one wave of candidates; returns (z_vecs, rems)."""
+        from sig_sdp_mmw_tpu.models.rounding_ell import default_z_pad_ell
+
+        zmax = int(cands.max())
+        need = max(32, zmax * self.rank_radio)
+        D_pad = 1 << (need - 1).bit_length()
+        cap = max(((ell.Kp - 1) // 16) * 16, 1)
+        D_pad = min(D_pad, cap)
+        rank_pad = min(D_pad, ell.Kp - 1)
+        Z_pad = default_z_pad_ell(ell, zmax)
+
+        Zv = jnp.asarray(cands, jnp.float32)
+        skeys = jax.random.split(key, cands.size)
+        out = self._solve_wave_fn(ell, D_pad, rank_pad)(Zv, skeys)
+
+        rnd = self._round_wave_fn(ell, Z_pad)
+        Zi = jnp.asarray(cands, jnp.int32)
+        best_z = None
+        best_rem = None
+        for attempt in range(self.nattempt):
+            rkeys = jax.random.split(jax.random.fold_in(key, 1000 + attempt),
+                                     cands.size)
+            z_vecs, rems = rnd(out.X_half, Zi, rkeys)
+            z_vecs, rems = np.asarray(z_vecs), np.asarray(rems)
+            if best_z is None:
+                best_z, best_rem = z_vecs, rems
+            else:
+                better = rems < best_rem
+                best_z = np.where(better[:, None], z_vecs, best_z)
+                best_rem = np.minimum(rems, best_rem)
+            if (best_rem == 0).any():
+                # The answer only needs the SMALLEST feasible candidate;
+                # retrying candidates above it cannot improve the answer.
+                break
+        return best_z, best_rem
+
+    def run(self, ell):
+        lb, ub = ell.degree_bounds()
+        self._ncall += 1
+        key = jax.random.fold_in(self._key, self._ncall)
+
+        tic = self._get_tic()
+        probed = {}               # Z -> (rem, z_vec)
+        lo, hi = lb, ub
+        waves = 0
+        best = None               # (Z, z_vec) smallest feasible
+        while True:
+            cands = np.unique(np.linspace(lo, hi, self.wave).round()
+                              .astype(int))
+            cands = cands[~np.isin(cands, list(probed))]
+            if cands.size == 0:
+                break
+            waves += 1
+            z_vecs, rems = self._wave(ell, cands,
+                                      jax.random.fold_in(key, waves))
+            for i, Z in enumerate(cands):
+                probed[int(Z)] = (int(rems[i]), z_vecs[i])
+            feas = sorted(Z for Z, (r, _) in probed.items() if r == 0)
+            if feas:
+                bz = feas[0]
+                best = (bz, probed[bz][1])
+                below = [Z for Z, (r, _) in probed.items()
+                         if r != 0 and Z < bz]
+                lo = max(below) + 1 if below else lo
+                hi = bz - 1
+                if lo > hi:
+                    break
+            else:
+                # Everything infeasible: slide the window up (reference's
+                # both-bounds-infeasible case).
+                lo, hi = hi + 1, hi + max(hi - lo, 1)
+                if lo > ell.K:
+                    break
+            self._printalltime(
+                f"pp-ell wave={waves} window=[{lo},{hi}] "
+                f"probed={sorted(probed)} best={best[0] if best else None}")
+
+        tim = self._get_tim(tic)
+        self._add_np_log("pp_search", 0, np.array([lb, ub, waves, tim]))
+        if best is None:
+            raise RuntimeError("speculative search found no feasible Z up "
+                               f"to K={ell.K}")
+        Z = best[0]
+        return np.asarray(best[1])[: ell.K], Z, 0

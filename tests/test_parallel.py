@@ -158,6 +158,33 @@ def test_parallel_probe_search(ref_state, fix):
     assert abs(Z - int(fix["Z_fin"])) <= 1
 
 
+def test_parallel_probe_search_ell(ref_state, fix):
+    """Sparse speculative multi-section search: same answer as the
+    sequential binary search on the ELL/BCSR backend, via waves of vmapped
+    candidate-Z solves."""
+    import scipy.sparse
+
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.models.rounding_ell import verify_assignment_ell
+    from sig_sdp_mmw_tpu.parallel import ParallelProbeSearchEll
+
+    ell = ell_from_sig_state(ref_state)
+    S, Q, h = state_to_scipy(ref_state)
+    pp = ParallelProbeSearchEll(nit=80, eta=0.05, seed=0, wave=4,
+                                use_bcsr=True).prepare(ell, S, Q, block=16)
+    z_vec, Z, rem = pp.run(ell)
+    assert rem == 0
+    ok, ni, na = verify_assignment_ell(
+        ell, jnp.asarray(np.pad(z_vec, (0, ell.Kp - ell.K))))
+    assert ok, (ni, na)
+    assert abs(Z - int(fix["Z_fin"])) <= 1
+
+    # Non-BCSR backend too.
+    pp2 = ParallelProbeSearchEll(nit=80, eta=0.05, seed=0, wave=3)
+    z2, Z2, rem2 = pp2.run(ell)
+    assert rem2 == 0 and abs(Z2 - int(fix["Z_fin"])) <= 1
+
+
 def test_env_generation_vmaps():
     """Scenario generation is itself vmappable over seeds."""
     from sig_sdp_mmw_tpu.env.env import (EnvParams, ap_grid,

@@ -40,7 +40,7 @@ def tree_bytes(tree):
 
 
 def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
-         do_rounding=False, out_path=None, lanczos_m=8):
+         do_rounding=False, out_path=None, lanczos_m=8, row_chunk=2048):
     import jax
     import jax.numpy as jnp
 
@@ -76,15 +76,22 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
         raise
 
     try:
+        from sig_sdp_mmw_tpu.core.ell import ell_slim_from_csr
+
         t0 = time.time()
-        ell = env.generate_ell()
-        rec["phases_s"]["ell_build"] = round(time.time() - t0, 1)
-        rec["degS"] = int(ell.s_cols.shape[1])
-        rec["degQ"] = int(ell.q_cols.shape[1])
-        rec["budget_gb"]["ell_state"] = _gb(tree_bytes(ell))
-        print(f"ell: degS={rec['degS']} Kp={ell.Kp} "
-              f"{rec['budget_gb']['ell_state']} GB "
-              f"[{rec['phases_s']['ell_build']}s]")
+        # Memory-lean solve path: the BCSR-native solver only needs the
+        # [Kp]/[E_pad] slim vectors — the full EllState (~2.5 GB of ELL
+        # index/value arrays) is never built unless --rounding asks for it.
+        import math as _math
+        Br, Bc = (block, block) if isinstance(block, int) else block
+        lcm = Br * Bc // _math.gcd(Br, Bc)
+        Kp_pad = ((K + lcm - 1) // lcm) * lcm
+        slim = ell_slim_from_csr(S, Q, h, pad_rows_to=Kp_pad)
+        rec["phases_s"]["slim_build"] = round(time.time() - t0, 1)
+        rec["budget_gb"]["slim_state"] = _gb(tree_bytes(slim))
+        print(f"slim: Kp={slim.Kp} E_pad={slim.E_pad} "
+              f"{rec['budget_gb']['slim_state']} GB "
+              f"[{rec['phases_s']['slim_build']}s]")
     except Exception as exc:  # noqa: BLE001
         rec["ell_error"] = f"{type(exc).__name__}: {exc}"[:400]
         save()
@@ -122,11 +129,11 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
     rec["D_pad"] = D_pad
     # V-sized f32 buffers on the hot path: sketch V, Lanczos vectors
     # (3 live), averaged weights (nnz), edge values (nnz + E).
-    v_bytes = ell.Kp * D_pad * 4
-    work = 6 * v_bytes + 3 * S.nnz * 4 + 2 * ell.E_pad * 4
+    v_bytes = slim.Kp * D_pad * 4
+    work = 6 * v_bytes + 3 * S.nnz * 4 + 2 * slim.E_pad * 4
     rec["budget_gb"]["solver_working_set_est"] = _gb(work)
     rec["budget_gb"]["total_est"] = round(
-        rec["budget_gb"]["ell_state"] + rec["budget_gb"]["bcsr_operands"]
+        rec["budget_gb"]["slim_state"] + rec["budget_gb"]["bcsr_operands"]
         + rec["budget_gb"]["solver_working_set_est"], 3)
     rec["budget_gb"]["hbm_v5e"] = 16.0
     print(f"budget: {rec['budget_gb']}")
@@ -135,8 +142,8 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
         from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
 
         t0 = time.time()
-        ell = jax.device_put(ell)
-        jax.block_until_ready(ell.s_vals)
+        slim = jax.device_put(slim)
+        jax.block_until_ready(slim.h_max)
         ops = jax.device_put(ops)
         jax.block_until_ready(ops.s_blocks.blocks)
         rec["phases_s"]["device_transfer"] = round(time.time() - t0, 1)
@@ -144,10 +151,10 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
 
         fn = jax.jit(lambda e, k, b: mmw_solve_ell(
             e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
-            lanczos_m=lanczos_m, bcsr=b))
+            lanczos_m=lanczos_m, bcsr=b, spmm_row_chunk=row_chunk))
         key = jax.random.PRNGKey(0)
         t0 = time.time()
-        lowered = fn.lower(ell, key, ops)
+        lowered = fn.lower(slim, key, ops)
         compiled = lowered.compile()
         rec["phases_s"]["compile"] = round(time.time() - t0, 1)
         mem = compiled.memory_analysis()
@@ -160,7 +167,7 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
               f"xla temp={rec['budget_gb'].get('xla_temp')} GB")
 
         t0 = time.time()
-        out = compiled(ell, key, ops)
+        out = compiled(slim, key, ops)
         ub = float(out.ub_final)          # scalar pull = completion barrier
         rec["phases_s"]["solve"] = round(time.time() - t0, 1)
         rec["ub_final"] = ub
@@ -170,7 +177,7 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
               f"{rec['s_per_iter_first']}s/iter incl warm]")
 
         t0 = time.time()
-        out = compiled(ell, jax.random.fold_in(key, 1), ops)
+        out = compiled(slim, jax.random.fold_in(key, 1), ops)
         ub = float(out.ub_final)
         warm = time.time() - t0
         rec["phases_s"]["solve_warm"] = round(warm, 1)
@@ -188,6 +195,11 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
                 rounding_ell, verify_assignment_csr)
 
             t0 = time.time()
+            # Rounding needs the full ELL state; built only now, after the
+            # solver's big buffers are no longer growing the peak.  Padded
+            # to the BCSR row count so gX and the state line up.
+            ell = env.generate_ell(pad_rows_to=Kp_pad)
+            rec["budget_gb"]["ell_state"] = _gb(tree_bytes(ell))
             z_vec, _, rem = rounding_ell(int(Z), out.X_half, ell,
                                          jax.random.PRNGKey(7), nattempt=1,
                                          Z_pad=((int(Z) + 15) // 16) * 16)
@@ -213,7 +225,9 @@ if __name__ == "__main__":
     ap.add_argument("--d-pad", type=int, default=None)
     ap.add_argument("--lanczos-m", type=int, default=8)
     ap.add_argument("--rounding", action="store_true")
+    ap.add_argument("--row-chunk", type=int, default=2048)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, nit=a.nit, block=a.block, d_pad=a.d_pad,
-         do_rounding=a.rounding, out_path=a.out, lanczos_m=a.lanczos_m)
+         do_rounding=a.rounding, out_path=a.out, lanczos_m=a.lanczos_m,
+         row_chunk=a.row_chunk)
