@@ -75,7 +75,9 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                   reorth: bool = True,
                   rsvd_iters: int = 3, bcsr=None,
                   factorize: bool = True,
-                  spmm_row_chunk: Optional[int] = None) -> MMWEllOutput:
+                  spmm_row_chunk: Optional[int] = None,
+                  carry_in=None, it_start=0, it_stop=None,
+                  return_carry: bool = False) -> MMWEllOutput:
     """``bcsr``: optional :class:`sig_sdp_mmw_tpu.ops.bcsr.BcsrOperands`.
     When provided, EVERY per-iteration O(nnz*D) operation — the Lanczos
     matvecs, the association-edge operator and the pattern-restricted Gram
@@ -84,7 +86,19 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
     ``ell`` may be the full :class:`EllState` or the memory-lean
     :class:`sig_sdp_mmw_tpu.core.ell.EllSlim` (no O(K*deg) arrays on
     device).  ``spmm_row_chunk`` bounds the fused-SpMM gather transient at
-    very large K (see :func:`sig_sdp_mmw_tpu.ops.bcsr.bcsr_spmm`)."""
+    very large K (see :func:`sig_sdp_mmw_tpu.ops.bcsr.bcsr_spmm`).
+
+    SEGMENTED execution (``carry_in`` / ``it_start`` / ``it_stop`` /
+    ``return_carry``): the iteration loop can be split into several device
+    executions that pass the solver carry (a pytree of device arrays)
+    between them — run ``[it_start, it_stop)`` from ``carry_in`` (or the
+    fresh initial carry) and either return the raw carry
+    (``return_carry=True``) or finish with the averaged-primal epilogue.
+    Iteration indices are absolute, so a segmented run is BIT-IDENTICAL to
+    a single-shot one (the PRNG streams fold in the absolute index).  Use
+    cases: per-segment telemetry/checkpointing, and runtimes that bound a
+    single execution's wall time (the tunneled-TPU worker kills multi-
+    minute executions — tools/million_link.py runs 1M links in segments)."""
     Kp = ell.Kp
     K = ell.K
     E_pad = ell.E_pad
@@ -352,7 +366,12 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
             out["avg_st"] = avg_st
         return out
 
-    c = lax.fori_loop(0, nit, iteration, carry0)
+    if carry_in is not None:
+        carry0 = carry_in
+    stop = nit if it_stop is None else it_stop
+    c = lax.fori_loop(it_start, stop, iteration, carry0)
+    if return_carry:
+        return c
 
     # ---- final UB + operator-based factorization (mmw.py:202-222) ---------
     avg_mdiag = c["avg_mdiag"] / nit

@@ -25,6 +25,7 @@ hence the full greedy trajectory, is identical.  The independent checker
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -178,13 +179,18 @@ def _rounding_single_ell(ell: EllState, gX, Z, key, Z_pad: int):
 # Row-count cap for batching all attempts into one vmapped device program.
 # Batching trades the reference's first-success early exit
 # (sdp_solver.py:18-25) for one device program whose sequential user scan is
-# shared by all attempts — a clear win at small K.  Beyond ~16k rows the
-# batched greedy is one multi-minute device execution, which the tunneled
-# TPU runtime in this image does not survive (reproducible worker crash at
-# Kp~100k even at Z_pad=16, i.e. independent of buffer bytes) — and at
-# large K the sequential loop's first-success early exit is the better
+# shared by all attempts — a clear win at small K.  The default cap is an
+# ENVIRONMENT capability, not a law: on the tunneled TPU runtime of this
+# image, any single device execution lasting multiple minutes kills the
+# remote worker (reproduced by tools/probe_batched_rounding.py: the crash
+# tracks EXECUTION TIME, not buffer bytes — Kp~100k crashes even at
+# Z_pad=16 while bigger-byte short programs run fine), and a batched
+# 100k-row greedy is exactly such an execution.  On directly-attached
+# hardware raise SIG_SDP_BATCH_ROUNDING_MAX_KP to taste; at large K the
+# sequential loop's first-success early exit is usually the better
 # semantics anyway (feasible probes succeed on attempt 1).
-_BATCH_ATTEMPT_MAX_KP = 16384
+_BATCH_ATTEMPT_MAX_KP = int(os.environ.get("SIG_SDP_BATCH_ROUNDING_MAX_KP",
+                                           16384))
 
 
 def rounding_ell(Z: int, gX, ell: EllState, key, nattempt: int = 10,

@@ -241,6 +241,41 @@ def test_sparse_mmw_slim_state_and_row_chunk(ell_state, dense_state, fix):
                       key=key)
 
 
+def test_sparse_mmw_segmented_matches_single_shot(ell_state, dense_state,
+                                                  fix):
+    """Segmented execution (carry passed across several device programs)
+    must be bit-identical to the single-shot solve — absolute iteration
+    indices keep the PRNG streams aligned."""
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S, Q, h = state_to_scipy(dense_state)
+    ops = bcsr_operands_from_state(S, Q, block=16)
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    NIT = 21
+    kw = dict(nit=NIT, eta=0.05, D_pad=32, rank_pad=32, bcsr=ops)
+    ref = jax.jit(lambda e, k: mmw_solve_ell(e, Z, key=k, **kw)
+                  )(ell_state, key)
+
+    seg = jax.jit(lambda e, k, c, i0, i1: mmw_solve_ell(
+        e, Z, key=k, carry_in=c, it_start=i0, it_stop=i1,
+        return_carry=True, **kw))
+    fin = jax.jit(lambda e, k, c: mmw_solve_ell(
+        e, Z, key=k, carry_in=c, it_start=NIT, it_stop=NIT, **kw))
+    c = None
+    i0 = 0
+    for i1 in (8, 16, NIT):
+        c = seg(ell_state, key, c, i0, i1) if c is not None else \
+            seg(ell_state, key, None, i0, i1)
+        i0 = i1
+    out = fin(ell_state, key, c)
+    assert float(out.ub_final) == pytest.approx(float(ref.ub_final),
+                                                abs=1e-7)
+    np.testing.assert_allclose(np.asarray(out.X_half),
+                               np.asarray(ref.X_half), atol=1e-6)
+
+
 def test_sparse_mmw_rounding_feasible(dense_state, ell_state, fix):
     Z = int(fix["Z_fin"])
     out = jax.jit(lambda s, k: mmw_solve_ell(s, float(Z), nit=150, eta=0.05,

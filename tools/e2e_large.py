@@ -33,7 +33,8 @@ print = functools.partial(print, flush=True)
 
 
 def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
-         block=128, out_path=None, use_bcsr=True, d_pad=None, platform=None):
+         block=128, out_path=None, use_bcsr=True, d_pad=None, platform=None,
+         search="binary", wave=4, row_chunk=None):
     import jax
 
     if platform:
@@ -95,14 +96,28 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
         alg._d_pad_for = lambda e, Z: (d_pad, min(d_pad, e.Kp - 1))
 
     t0 = time.time()
-    z_vec, Z_fin, rem = bs.run(ell)
-    rec["phases_s"]["search"] = round(time.time() - t0, 2)
+    if search == "speculative":
+        from sig_sdp_mmw_tpu.parallel import ParallelProbeSearchEll
+
+        pp = ParallelProbeSearchEll(nit=nit, eta=eta, nattempt=nattempt,
+                                    seed=seed, wave=wave, use_bcsr=use_bcsr,
+                                    spmm_row_chunk=row_chunk)
+        pp._bcsr = alg._bcsr if use_bcsr else None   # reuse device operands
+        z_vec, Z_fin, rem = pp.run(ell)
+        rec["phases_s"]["search"] = round(time.time() - t0, 2)
+        row = np.asarray(pp.LOGGED_NP_DATA["pp_search"])[-1]
+        rec["n_waves"] = int(row[-2])
+        rec["search_mode"] = f"speculative(wave={wave})"
+    else:
+        z_vec, Z_fin, rem = bs.run(ell)
+        rec["phases_s"]["search"] = round(time.time() - t0, 2)
+        probes = np.asarray(alg.LOGGED_NP_DATA["mmw_all_it"])
+        rec["n_probes"] = int(probes.shape[0])
+        rec["solve_us_per_probe"] = [float(x) for x in probes[:, -1]]
+        rec["search_mode"] = "binary"
     rec["Z_fin"] = int(Z_fin)
     rec["remainder"] = int(rem)
-    probes = np.asarray(alg.LOGGED_NP_DATA["mmw_all_it"])
-    rec["n_probes"] = int(probes.shape[0])
-    rec["solve_us_per_probe"] = [float(x) for x in probes[:, -1]]
-    print(f"search: Z={Z_fin} rem={rem} probes={rec['n_probes']} "
+    print(f"search[{rec['search_mode']}]: Z={Z_fin} rem={rem} "
           f"[{rec['phases_s']['search']}s]")
 
     t0 = time.time()
@@ -190,7 +205,7 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
     out_path = out_path or os.path.join(repo_root, "E2E_LARGE.json")
     # Keep the assignment npz paired with its JSON: same directory + stem,
     # so a custom --out run never overwrites the checked-in default pair.
-    npz_path = os.path.splitext(out_path)[0].lower() + "_assignment.npz" \
+    npz_path = os.path.splitext(out_path)[0] + "_assignment.npz" \
         if out_path != os.path.join(repo_root, "E2E_LARGE.json") \
         else os.path.join(repo_root, "e2e_large_assignment.npz")
     np.savez_compressed(npz_path, z_vec=np.asarray(z_vec), Z=int(Z_fin),
@@ -214,7 +229,12 @@ if __name__ == "__main__":
     ap.add_argument("--d-pad", type=int, default=None)
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (e.g. cpu)")
+    ap.add_argument("--search", type=str, default="binary",
+                    choices=("binary", "speculative"))
+    ap.add_argument("--wave", type=int, default=4)
+    ap.add_argument("--row-chunk", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, a.seed, a.nit, a.eta, a.nattempt, a.block, a.out,
-         use_bcsr=not a.no_bcsr, d_pad=a.d_pad, platform=a.platform)
+         use_bcsr=not a.no_bcsr, d_pad=a.d_pad, platform=a.platform,
+         search=a.search, wave=a.wave, row_chunk=a.row_chunk)

@@ -40,7 +40,8 @@ def tree_bytes(tree):
 
 
 def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
-         do_rounding=False, out_path=None, lanczos_m=8, row_chunk=2048):
+         do_rounding=False, out_path=None, lanczos_m=8, row_chunk=2048,
+         skip_warm=False, nattempt=1, segment=0):
     import jax
     import jax.numpy as jnp
 
@@ -149,40 +150,79 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
         rec["phases_s"]["device_transfer"] = round(time.time() - t0, 1)
         print(f"transfer: [{rec['phases_s']['device_transfer']}s]")
 
-        fn = jax.jit(lambda e, k, b: mmw_solve_ell(
-            e, Z, nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad, key=k,
-            lanczos_m=lanczos_m, bcsr=b, spmm_row_chunk=row_chunk))
+        kw = dict(nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad,
+                  lanczos_m=lanczos_m, spmm_row_chunk=row_chunk)
         key = jax.random.PRNGKey(0)
-        t0 = time.time()
-        lowered = fn.lower(slim, key, ops)
-        compiled = lowered.compile()
-        rec["phases_s"]["compile"] = round(time.time() - t0, 1)
-        mem = compiled.memory_analysis()
-        if mem is not None:
-            rec["budget_gb"]["xla_argument"] = _gb(mem.argument_size_in_bytes)
-            rec["budget_gb"]["xla_temp"] = _gb(mem.temp_size_in_bytes)
-            rec["budget_gb"]["xla_peak_extra"] = _gb(
-                mem.temp_size_in_bytes + mem.output_size_in_bytes)
-        print(f"compile: [{rec['phases_s']['compile']}s] "
-              f"xla temp={rec['budget_gb'].get('xla_temp')} GB")
+        if segment and segment < nit:
+            # Segmented execution: the tunneled TPU worker kills any single
+            # device execution lasting several minutes, so run the solve as
+            # ceil(nit/segment)-many short executions passing the carry.
+            # Bit-identical to single-shot (absolute iteration indices).
+            seg_fn = jax.jit(lambda e, k, b, c, i0, i1: mmw_solve_ell(
+                e, Z, key=k, bcsr=b, carry_in=c, it_start=i0, it_stop=i1,
+                return_carry=True, **kw))
+            fin_fn = jax.jit(lambda e, k, b, c: mmw_solve_ell(
+                e, Z, key=k, bcsr=b, carry_in=c, it_start=nit, it_stop=nit,
+                **kw))
+            t0 = time.time()
+            c = seg_fn(slim, key, ops, None, 0, min(segment, nit))
+            jax.block_until_ready(c["eaD"])
+            rec["phases_s"]["compile"] = round(time.time() - t0, 1)
+            rec["segment"] = segment
+            print(f"segment 0..{min(segment, nit)} done "
+                  f"(incl compile {rec['phases_s']['compile']}s)")
+            t0 = time.time()
+            i0 = min(segment, nit)
+            while i0 < nit:
+                i1 = min(i0 + segment, nit)
+                c = seg_fn(slim, key, ops, c, i0, i1)
+                jax.block_until_ready(c["eaD"])
+                print(f"segment {i0}..{i1} done [{time.time() - t0:.0f}s]")
+                i0 = i1
+            out = fin_fn(slim, key, ops, c)
+            ub = float(out.ub_final)
+            rec["phases_s"]["solve"] = round(time.time() - t0, 1)
+            rec["ub_final"] = ub
+            rec["s_per_iter"] = round(
+                rec["phases_s"]["solve"] / max(nit - segment, 1), 2)
+            print(f"solve nit={nit} (segmented): ub={ub:.4f} "
+                  f"[{rec['phases_s']['solve']}s, "
+                  f"{rec['s_per_iter']}s/iter steady]")
+        else:
+            fn = jax.jit(lambda e, k, b: mmw_solve_ell(e, Z, key=k, bcsr=b,
+                                                       **kw))
+            t0 = time.time()
+            lowered = fn.lower(slim, key, ops)
+            compiled = lowered.compile()
+            rec["phases_s"]["compile"] = round(time.time() - t0, 1)
+            mem = compiled.memory_analysis()
+            if mem is not None:
+                rec["budget_gb"]["xla_argument"] = _gb(
+                    mem.argument_size_in_bytes)
+                rec["budget_gb"]["xla_temp"] = _gb(mem.temp_size_in_bytes)
+                rec["budget_gb"]["xla_peak_extra"] = _gb(
+                    mem.temp_size_in_bytes + mem.output_size_in_bytes)
+            print(f"compile: [{rec['phases_s']['compile']}s] "
+                  f"xla temp={rec['budget_gb'].get('xla_temp')} GB")
 
-        t0 = time.time()
-        out = compiled(slim, key, ops)
-        ub = float(out.ub_final)          # scalar pull = completion barrier
-        rec["phases_s"]["solve"] = round(time.time() - t0, 1)
-        rec["ub_final"] = ub
-        rec["s_per_iter_first"] = round(rec["phases_s"]["solve"] / nit, 2)
-        print(f"solve nit={nit}: ub={ub:.4f} "
-              f"[{rec['phases_s']['solve']}s, "
-              f"{rec['s_per_iter_first']}s/iter incl warm]")
+            t0 = time.time()
+            out = compiled(slim, key, ops)
+            ub = float(out.ub_final)      # scalar pull = completion barrier
+            rec["phases_s"]["solve"] = round(time.time() - t0, 1)
+            rec["ub_final"] = ub
+            rec["s_per_iter_first"] = round(rec["phases_s"]["solve"] / nit, 2)
+            print(f"solve nit={nit}: ub={ub:.4f} "
+                  f"[{rec['phases_s']['solve']}s, "
+                  f"{rec['s_per_iter_first']}s/iter incl warm]")
 
-        t0 = time.time()
-        out = compiled(slim, jax.random.fold_in(key, 1), ops)
-        ub = float(out.ub_final)
-        warm = time.time() - t0
-        rec["phases_s"]["solve_warm"] = round(warm, 1)
-        rec["s_per_iter"] = round(warm / nit, 2)
-        print(f"warm solve: {rec['s_per_iter']}s/iter")
+            if not skip_warm:
+                t0 = time.time()
+                out = compiled(slim, jax.random.fold_in(key, 1), ops)
+                ub = float(out.ub_final)
+                warm = time.time() - t0
+                rec["phases_s"]["solve_warm"] = round(warm, 1)
+                rec["s_per_iter"] = round(warm / nit, 2)
+                print(f"warm solve: {rec['s_per_iter']}s/iter")
     except Exception as exc:  # noqa: BLE001
         rec["solve_error"] = f"{type(exc).__name__}: {exc}"[:600]
         save()
@@ -201,7 +241,8 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
             ell = env.generate_ell(pad_rows_to=Kp_pad)
             rec["budget_gb"]["ell_state"] = _gb(tree_bytes(ell))
             z_vec, _, rem = rounding_ell(int(Z), out.X_half, ell,
-                                         jax.random.PRNGKey(7), nattempt=1,
+                                         jax.random.PRNGKey(7),
+                                         nattempt=nattempt,
                                          Z_pad=((int(Z) + 15) // 16) * 16)
             rec["phases_s"]["rounding"] = round(time.time() - t0, 1)
             rec["rounding_rem"] = int(rem)
@@ -226,8 +267,12 @@ if __name__ == "__main__":
     ap.add_argument("--lanczos-m", type=int, default=8)
     ap.add_argument("--rounding", action="store_true")
     ap.add_argument("--row-chunk", type=int, default=2048)
+    ap.add_argument("--skip-warm", action="store_true")
+    ap.add_argument("--segment", type=int, default=0)
+    ap.add_argument("--nattempt", type=int, default=1)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, nit=a.nit, block=a.block, d_pad=a.d_pad,
          do_rounding=a.rounding, out_path=a.out, lanczos_m=a.lanczos_m,
-         row_chunk=a.row_chunk)
+         row_chunk=a.row_chunk, skip_warm=a.skip_warm, nattempt=a.nattempt,
+         segment=a.segment)
