@@ -76,7 +76,7 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                   rsvd_iters: int = 3, bcsr=None,
                   factorize: bool = True,
                   spmm_row_chunk: Optional[int] = None,
-                  carry_in=None, it_start=0, it_stop=None,
+                  carry_in=None, it_start=0, num_steps: Optional[int] = None,
                   return_carry: bool = False) -> MMWEllOutput:
     """``bcsr``: optional :class:`sig_sdp_mmw_tpu.ops.bcsr.BcsrOperands`.
     When provided, EVERY per-iteration O(nnz*D) operation — the Lanczos
@@ -88,17 +88,22 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
     device).  ``spmm_row_chunk`` bounds the fused-SpMM gather transient at
     very large K (see :func:`sig_sdp_mmw_tpu.ops.bcsr.bcsr_spmm`).
 
-    SEGMENTED execution (``carry_in`` / ``it_start`` / ``it_stop`` /
+    SEGMENTED execution (``carry_in`` / ``it_start`` / ``num_steps`` /
     ``return_carry``): the iteration loop can be split into several device
     executions that pass the solver carry (a pytree of device arrays)
-    between them — run ``[it_start, it_stop)`` from ``carry_in`` (or the
-    fresh initial carry) and either return the raw carry
-    (``return_carry=True``) or finish with the averaged-primal epilogue.
-    Iteration indices are absolute, so a segmented run is BIT-IDENTICAL to
-    a single-shot one (the PRNG streams fold in the absolute index).  Use
-    cases: per-segment telemetry/checkpointing, and runtimes that bound a
-    single execution's wall time (the tunneled-TPU worker kills multi-
-    minute executions — tools/million_link.py runs 1M links in segments)."""
+    between them — run ``num_steps`` iterations starting at absolute index
+    ``it_start`` from ``carry_in`` (or the fresh initial carry) and either
+    return the raw carry (``return_carry=True``) or finish with the
+    averaged-primal epilogue.  ``num_steps`` is STATIC (the fori trip
+    count — a traced count would lower to a dynamic while_loop, which both
+    pessimizes the schedule and faults the TPU runtime at million-link
+    scale); ``it_start`` may be traced, so ONE executable serves every
+    segment.  Iteration indices are absolute, so a segmented run is
+    BIT-IDENTICAL to a single-shot one (the PRNG streams fold in the
+    absolute index).  Use cases: per-segment telemetry/checkpointing, and
+    runtimes that bound a single execution's wall time (the tunneled-TPU
+    worker kills multi-minute executions — tools/million_link.py runs 1M
+    links in segments)."""
     Kp = ell.Kp
     K = ell.K
     E_pad = ell.E_pad
@@ -368,8 +373,10 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
 
     if carry_in is not None:
         carry0 = carry_in
-    stop = nit if it_stop is None else it_stop
-    c = lax.fori_loop(it_start, stop, iteration, carry0)
+    nsteps = nit if num_steps is None else num_steps
+    base = jnp.asarray(it_start, jnp.int32)
+    c = lax.fori_loop(0, nsteps, lambda j, cc: iteration(base + j, cc),
+                      carry0)
     if return_carry:
         return c
 

@@ -214,7 +214,8 @@ class ParallelProbeSearchEll(StatsObject):
     def __init__(self, nit: int = 100, eta: float = 0.05, rank_radio: int = 2,
                  nattempt: int = 3, seed: int = 0,
                  lanczos_m: Optional[int] = None, wave: int = 4,
-                 use_bcsr: bool = False, spmm_row_chunk: Optional[int] = None):
+                 use_bcsr: bool = False, spmm_row_chunk: Optional[int] = None,
+                 d_pad_cap: Optional[int] = None):
         self.nit = nit
         self.eta = eta
         self.rank_radio = rank_radio
@@ -223,6 +224,13 @@ class ParallelProbeSearchEll(StatsObject):
         self.wave = max(2, wave)
         self.use_bcsr = use_bcsr
         self.spmm_row_chunk = spmm_row_chunk
+        # Cap on the sketch width D_pad.  Early waves probe Z near the
+        # window's upper bound, where the full D = Z*rank_radio sketch is a
+        # memory multiplier (wave x [m, Kp, D] Lanczos bases) but adds
+        # little: high-Z probes are the EASY feasibility checks, and the
+        # solver's D_act clamp makes a truncated sketch a valid (slightly
+        # coarser) relaxation probe.
+        self.d_pad_cap = d_pad_cap
         self._key = jax.random.PRNGKey(seed)
         self._ncall = 0
         self._bcsr = None
@@ -280,6 +288,8 @@ class ParallelProbeSearchEll(StatsObject):
         need = max(32, zmax * self.rank_radio)
         D_pad = 1 << (need - 1).bit_length()
         cap = max(((ell.Kp - 1) // 16) * 16, 1)
+        if self.d_pad_cap is not None:
+            cap = min(cap, self.d_pad_cap)
         D_pad = min(D_pad, cap)
         rank_pad = min(D_pad, ell.Kp - 1)
         Z_pad = default_z_pad_ell(ell, zmax)
@@ -288,14 +298,32 @@ class ParallelProbeSearchEll(StatsObject):
         skeys = jax.random.split(key, cands.size)
         out = self._solve_wave_fn(ell, D_pad, rank_pad)(Zv, skeys)
 
-        rnd = self._round_wave_fn(ell, Z_pad)
+        from sig_sdp_mmw_tpu.models.rounding_ell import (
+            _BATCH_ATTEMPT_MAX_KP, _rounding_single_ell)
+
+        batch_round = ell.Kp <= _BATCH_ATTEMPT_MAX_KP
+        if batch_round:
+            rnd = self._round_wave_fn(ell, Z_pad)
         Zi = jnp.asarray(cands, jnp.int32)
         best_z = None
         best_rem = None
         for attempt in range(self.nattempt):
             rkeys = jax.random.split(jax.random.fold_in(key, 1000 + attempt),
                                      cands.size)
-            z_vecs, rems = rnd(out.X_half, Zi, rkeys)
+            if batch_round:
+                z_vecs, rems = rnd(out.X_half, Zi, rkeys)
+            else:
+                # One device execution per candidate: a vmapped wave of
+                # K~100k sequential greedy scans would be one multi-minute
+                # execution, which capped runtimes kill (see
+                # _BATCH_ATTEMPT_MAX_KP).
+                zs, rs = [], []
+                for i in range(cands.size):
+                    z1, r1 = _rounding_single_ell(ell, out.X_half[i], Zi[i],
+                                                  rkeys[i], Z_pad)
+                    zs.append(z1)
+                    rs.append(r1)
+                z_vecs, rems = jnp.stack(zs), jnp.stack(rs)
             z_vecs, rems = np.asarray(z_vecs), np.asarray(rems)
             if best_z is None:
                 best_z, best_rem = z_vecs, rems

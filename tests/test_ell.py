@@ -1,5 +1,6 @@
 """ELL sparse backend: kernels vs dense oracles, sparse MMW vs dense MMW."""
 
+import functools
 import pathlib
 
 import numpy as np
@@ -258,17 +259,17 @@ def test_sparse_mmw_segmented_matches_single_shot(ell_state, dense_state,
     ref = jax.jit(lambda e, k: mmw_solve_ell(e, Z, key=k, **kw)
                   )(ell_state, key)
 
-    seg = jax.jit(lambda e, k, c, i0, i1: mmw_solve_ell(
-        e, Z, key=k, carry_in=c, it_start=i0, it_stop=i1,
-        return_carry=True, **kw))
+    # num_steps is static (trip count); it_start is traced — one executable
+    # serves every same-length segment.
+    seg7 = jax.jit(functools.partial(
+        lambda e, k, c, i0, **kk: mmw_solve_ell(
+            e, Z, key=k, carry_in=c, it_start=i0, num_steps=7,
+            return_carry=True, **kk), **kw))
     fin = jax.jit(lambda e, k, c: mmw_solve_ell(
-        e, Z, key=k, carry_in=c, it_start=NIT, it_stop=NIT, **kw))
-    c = None
-    i0 = 0
-    for i1 in (8, 16, NIT):
-        c = seg(ell_state, key, c, i0, i1) if c is not None else \
-            seg(ell_state, key, None, i0, i1)
-        i0 = i1
+        e, Z, key=k, carry_in=c, it_start=NIT, num_steps=0, **kw))
+    c = seg7(ell_state, key, None, 0)
+    for i0 in (7, 14):
+        c = seg7(ell_state, key, c, i0)
     out = fin(ell_state, key, c)
     assert float(out.ub_final) == pytest.approx(float(ref.ub_final),
                                                 abs=1e-7)

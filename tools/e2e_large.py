@@ -101,7 +101,8 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
 
         pp = ParallelProbeSearchEll(nit=nit, eta=eta, nattempt=nattempt,
                                     seed=seed, wave=wave, use_bcsr=use_bcsr,
-                                    spmm_row_chunk=row_chunk)
+                                    spmm_row_chunk=row_chunk,
+                                    d_pad_cap=d_pad)
         pp._bcsr = alg._bcsr if use_bcsr else None   # reuse device operands
         z_vec, Z_fin, rem = pp.run(ell)
         rec["phases_s"]["search"] = round(time.time() - t0, 2)

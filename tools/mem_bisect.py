@@ -208,6 +208,40 @@ def main():
     go("spmm", spmm_pair(None), (ell, ops))
     go("spmm_c2048", spmm_pair(2048), (ell, ops))
 
+    # Segmented-execution programs (carry in/out, traced bounds) — the
+    # million-link segmented path.
+    def seg_first(e, k, b, i0):
+        return mmw_solve_ell(e, Z, nit=a.nit, eta=0.05, D_pad=D_pad,
+                             rank_pad=D_pad, key=k, lanczos_m=a.lanczos_m,
+                             bcsr=b, spmm_row_chunk=2048, carry_in=None,
+                             it_start=i0, num_steps=10, return_carry=True)
+
+    i_sds = jax.ShapeDtypeStruct((), jax.numpy.int32)
+    go("seg_first_c2048", seg_first, (ell, key, ops, i_sds))
+
+    def seg_lean(chunk, m):
+        def fn(e, k, b, i0):
+            return mmw_solve_ell(e, Z, nit=a.nit, eta=0.05, D_pad=D_pad,
+                                 rank_pad=D_pad, key=k, lanczos_m=m,
+                                 bcsr=b, spmm_row_chunk=chunk, carry_in=None,
+                                 it_start=i0, num_steps=10,
+                                 return_carry=True)
+        return fn
+
+    go("seg_first_c1024", seg_lean(1024, a.lanczos_m), (ell, key, ops, i_sds))
+    go("seg_first_c512_m6", seg_lean(512, 6), (ell, key, ops, i_sds))
+
+    def seg_mid(e, k, b, c, i0):
+        return mmw_solve_ell(e, Z, nit=a.nit, eta=0.05, D_pad=D_pad,
+                             rank_pad=D_pad, key=k, lanczos_m=a.lanczos_m,
+                             bcsr=b, spmm_row_chunk=2048, carry_in=c,
+                             it_start=i0, num_steps=10, return_carry=True)
+
+    if want is None or "seg_mid_c2048" in want:
+        carry_sds = jax.eval_shape(seg_first, ell, key, ops, i_sds)
+        compile_variant("seg_mid_c2048", seg_mid,
+                        (ell, key, ops, carry_sds, i_sds), out["variants"])
+
     op = a.out or os.path.join(REPO, "MEM_BISECT.json")
     with open(op, "w") as f:
         json.dump(out, f, indent=1)

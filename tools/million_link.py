@@ -41,7 +41,7 @@ def tree_bytes(tree):
 
 def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
          do_rounding=False, out_path=None, lanczos_m=8, row_chunk=2048,
-         skip_warm=False, nattempt=1, segment=0):
+         skip_warm=False, nattempt=1, segment=0, z_extra=4):
     import jax
     import jax.numpy as jnp
 
@@ -123,7 +123,7 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
 
     # Working-set estimate for the solver at sketch width D.
     lb = int(np.diff(Q.indptr).max()) + 1
-    Z = float(lb + 4)
+    Z = float(lb + z_extra)
     D_pad = d_pad if d_pad is not None else ((int(Z) * 2 + 15) // 16) * 16
     rec["lb"] = lb
     rec["Z_probe"] = Z
@@ -158,15 +158,21 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
             # device execution lasting several minutes, so run the solve as
             # ceil(nit/segment)-many short executions passing the carry.
             # Bit-identical to single-shot (absolute iteration indices).
-            seg_fn = jax.jit(lambda e, k, b, c, i0, i1: mmw_solve_ell(
-                e, Z, key=k, bcsr=b, carry_in=c, it_start=i0, it_stop=i1,
-                return_carry=True, **kw))
+            # num_steps is STATIC (fori trip count), it_start traced: one
+            # executable serves every segment.
+            seg_fn = jax.jit(lambda e, k, b, c, i0: mmw_solve_ell(
+                e, Z, key=k, bcsr=b, carry_in=c, it_start=i0,
+                num_steps=min(segment, nit), return_carry=True, **kw))
             fin_fn = jax.jit(lambda e, k, b, c: mmw_solve_ell(
-                e, Z, key=k, bcsr=b, carry_in=c, it_start=nit, it_stop=nit,
+                e, Z, key=k, bcsr=b, carry_in=c, it_start=nit, num_steps=0,
                 **kw))
             t0 = time.time()
-            c = seg_fn(slim, key, ops, None, 0, min(segment, nit))
-            jax.block_until_ready(c["eaD"])
+            c = seg_fn(slim, key, ops, None, 0)
+            # Scalar pull = the only reliable completion barrier on the
+            # tunneled device (block_until_ready returns early on large
+            # arrays, letting segments pile into one continuous device-busy
+            # period that the worker's watchdog kills).
+            float(c["eaD"][0])
             rec["phases_s"]["compile"] = round(time.time() - t0, 1)
             rec["segment"] = segment
             print(f"segment 0..{min(segment, nit)} done "
@@ -175,8 +181,14 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
             i0 = min(segment, nit)
             while i0 < nit:
                 i1 = min(i0 + segment, nit)
-                c = seg_fn(slim, key, ops, c, i0, i1)
-                jax.block_until_ready(c["eaD"])
+                if i1 - i0 == min(segment, nit):
+                    c = seg_fn(slim, key, ops, c, i0)
+                else:           # short tail segment: its own executable
+                    c = jax.jit(lambda e, k, b, cc, j0: mmw_solve_ell(
+                        e, Z, key=k, bcsr=b, carry_in=cc, it_start=j0,
+                        num_steps=i1 - i0, return_carry=True, **kw)
+                    )(slim, key, ops, c, i0)
+                float(c["eaD"][0])
                 print(f"segment {i0}..{i1} done [{time.time() - t0:.0f}s]")
                 i0 = i1
             out = fin_fn(slim, key, ops, c)
@@ -269,10 +281,11 @@ if __name__ == "__main__":
     ap.add_argument("--row-chunk", type=int, default=2048)
     ap.add_argument("--skip-warm", action="store_true")
     ap.add_argument("--segment", type=int, default=0)
+    ap.add_argument("--z-extra", type=int, default=4)
     ap.add_argument("--nattempt", type=int, default=1)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, nit=a.nit, block=a.block, d_pad=a.d_pad,
          do_rounding=a.rounding, out_path=a.out, lanczos_m=a.lanczos_m,
          row_chunk=a.row_chunk, skip_warm=a.skip_warm, nattempt=a.nattempt,
-         segment=a.segment)
+         segment=a.segment, z_extra=a.z_extra)

@@ -20,14 +20,18 @@ print = functools.partial(print, flush=True)
 
 
 def timeit(fn, *args, n=5):
+    """Median ms of float(sum(fn(*args))) — the scalar pull is the only
+    reliable completion barrier on the tunneled device."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    g = jax.jit(lambda *a: jnp.sum(fn(*a)))
+    float(g(*args))
+    float(g(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(g(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
 
@@ -67,57 +71,63 @@ def main(cell=183, block=128, bf16=False, no_transpose=False, m=8,
     acc0 = jnp.zeros((Kb, bops.s_blocks.bcols.shape[1], Bsz, Bsz), jnp.float32)
     acc0 = jax.device_put(acc0)
 
-    t = timeit(jax.jit(lambda b, v: B.bcsr_spmm(b, v)), bops.s_blocks, V)
+    t = timeit(lambda b, v: B.bcsr_spmm(b, v), bops.s_blocks, V)
     print(f"s_matvec (bcsr_spmm):           {t:8.2f} ms")
 
     if bops.st_blocks is not None:
-        t = timeit(jax.jit(lambda b, v: B.bcsr_spmm(b, v)), bops.st_blocks, V)
+        t = timeit(lambda b, v: B.bcsr_spmm(b, v), bops.st_blocks, V)
         print(f"st_matvec (stored transpose):   {t:8.2f} ms")
-    t = timeit(jax.jit(lambda bc, bl, v: B.bcsr_spmm_transpose(bc, bl, v)),
+    t = timeit(lambda bc, bl, v: B.bcsr_spmm_transpose(bc, bl, v),
                bops.s_blocks.bcols, bops.s_blocks.blocks, V)
     print(f"st_matvec (scatter-add):        {t:8.2f} ms")
 
     def qvals_fn(ops, e):
         flat = jnp.zeros((Kb * maxblkQ * Bsz * Bsz,), jnp.float32)
         return flat.at[ops.q_pos].set(e[ops.q_eidx]).reshape(
-            Kb, maxblkQ, Bsz, Bsz)
+            Kb, Bsz, maxblkQ, Bsz)
 
-    t = timeit(jax.jit(qvals_fn), bops, ev)
+    t = timeit(qvals_fn, bops, ev)
     print(f"q_block_vals (scatter):         {t:8.2f} ms")
 
     qv = jax.jit(qvals_fn)(bops, ev)
-    t = timeit(jax.jit(lambda bc, bl, v: B.bcsr_spmm(
-        B.BlockEll(bcols=bc, blocks=bl, nrows=nrows), v)),
+    t = timeit(lambda bc, bl, v: B.bcsr_spmm(
+        B.BlockEll(bcols=bc, blocks=bl, nrows=nrows), v),
         bops.q_bcols, qv, V)
     print(f"q_matvec:                       {t:8.2f} ms")
 
     Xb = V.reshape(Kb, Bsz, D_pad)
-    t = timeit(jax.jit(lambda bc, xb, a: B.bcsr_block_gram_accum(bc, xb, a, 0.5)),
+    t = timeit(lambda bc, xb, a: B.bcsr_block_gram_accum(bc, xb, a, 0.5),
                bops.s_blocks.bcols, Xb, acc0)
     print(f"block_gram_accum:               {t:8.2f} ms")
 
-    t = timeit(jax.jit(lambda i, j, x: jnp.sum(x[i] * x[j], axis=1)),
+    eacc0 = jax.device_put(jnp.zeros((bops.nnz + 1,), jnp.float32))
+    t = timeit(lambda bc, xr, xc, a: B.bcsr_edge_gram_accum(
+        bc, xr, xc, bops.g_src, bops.g_dst, a, 0.5),
+        bops.s_blocks.bcols, Xb, Xb, eacc0)
+    print(f"edge_gram_accum (per-iter op):  {t:8.2f} ms")
+
+    t = timeit(lambda i, j, x: jnp.sum(x[i] * x[j], axis=1),
                a_i, a_j, V)
     print(f"eF edge gather dot (E_pad):     {t:8.2f} ms")
 
     def lanczos_fn(b, v):
         return lanczos_expm_multiply(
             lambda u: B.bcsr_spmm(b, u), v, m=m, reorth=True,
-            small_method="pade", norm_bound=7.5)[0]
+            small_method="taylor_ss", norm_bound=7.5)[0]
 
-    t = timeit(jax.jit(lanczos_fn), bops.s_blocks, V)
+    t = timeit(lanczos_fn, bops.s_blocks, V)
     print(f"lanczos m={m} (spmm only op):     {t:8.2f} ms")
 
     def lanczos_noreorth(b, v):
         return lanczos_expm_multiply(
             lambda u: B.bcsr_spmm(b, u), v, m=m, reorth=False,
-            small_method="pade", norm_bound=7.5)[0]
+            small_method="taylor_ss", norm_bound=7.5)[0]
 
-    t = timeit(jax.jit(lanczos_noreorth), bops.s_blocks, V)
+    t = timeit(lanczos_noreorth, bops.s_blocks, V)
     print(f"lanczos m={m} no reorth:          {t:8.2f} ms")
 
     # vector phase (softmax etc.) proxy: a few elementwise passes over [Kp]
-    t = timeit(jax.jit(lambda v: jnp.sum(v * v, axis=1)), V)
+    t = timeit(lambda v: jnp.sum(v * v, axis=1), V)
     print(f"rowwise reduce [nrows, D]:      {t:8.2f} ms")
 
 
