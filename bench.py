@@ -76,7 +76,10 @@ def _bench_large(jax, cell=183, nit=30, lanczos_m=8, block=128):
     S, Q, h = generate_large_state_csr(cell, 75e-4, seed=0)
     K = S.shape[0]
     ell = jax.device_put(ell_from_scipy(S, Q, h))
-    ops = bcsr_operands_from_state(S, Q, block=block, dtype=jnp.bfloat16)
+    # store_transpose: S-tilde^T matvecs run as gather SpMMs instead of
+    # scatter-adds (~1 ms/Lanczos-step cheaper); memory is trivial at 100k.
+    ops = bcsr_operands_from_state(S, Q, block=block, dtype=jnp.bfloat16,
+                                   store_transpose=True)
     ops = jax.device_put(ops)
     jax.block_until_ready(ops.s_blocks.blocks)
 

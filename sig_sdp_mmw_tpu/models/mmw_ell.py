@@ -77,7 +77,8 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                   factorize: bool = True,
                   spmm_row_chunk: Optional[int] = None,
                   carry_in=None, it_start=0, num_steps: Optional[int] = None,
-                  return_carry: bool = False) -> MMWEllOutput:
+                  return_carry: bool = False,
+                  gram_mode: str = "auto") -> MMWEllOutput:
     """``bcsr``: optional :class:`sig_sdp_mmw_tpu.ops.bcsr.BcsrOperands`.
     When provided, EVERY per-iteration O(nnz*D) operation — the Lanczos
     matvecs, the association-edge operator and the pattern-restricted Gram
@@ -103,7 +104,20 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
     absolute index).  Use cases: per-segment telemetry/checkpointing, and
     runtimes that bound a single execution's wall time (the tunneled-TPU
     worker kills multi-minute executions — tools/million_link.py runs 1M
-    links in segments)."""
+    links in segments).
+
+    ``gram_mode`` — how the averaged primal accumulates on the S̃ pattern:
+
+    * ``"block"``: a full [Kbr, Br, maxblk*Bc] f32 block accumulator,
+      updated by ONE batched ``dot_general`` per iteration (zero gathers/
+      scatters; the non-pattern positions inside stored blocks are masked
+      once in the epilogue by the scattered symmetrization weights).
+      Measured 112 ms -> ~2 ms per iteration at K=100k, where the per-edge
+      gather/scatter accumulation was 65% of the whole iteration;
+    * ``"edge"``: the O(nnz) per-edge vector via
+      :func:`sig_sdp_mmw_tpu.ops.bcsr.bcsr_edge_gram_accum` — the
+      million-link memory mode (the block accumulator would be GBs);
+    * ``"auto"`` (default): block if the accumulator is <= 2 GiB."""
     Kp = ell.Kp
     K = ell.K
     E_pad = ell.E_pad
@@ -127,6 +141,10 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         maxblk = bcsr.s_blocks.bcols.shape[1]
         maxblkQ = bcsr.q_bcols.shape[1]
         nnz_s = bcsr.nnz
+        if gram_mode == "auto":
+            block_gram = Kbr * Brow * maxblk * Bcol * 4 <= 2 * 2**30
+        else:
+            block_gram = gram_mode == "block"
 
         def padV(V):
             return jnp.pad(V, ((0, padn), (0, 0))) if padn else V
@@ -243,7 +261,12 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         ya_H=jnp.zeros((Kp,), dtype),
         gap=jnp.zeros((nit if log_gap else 0, 2), dtype),
     )
-    if use_bcsr:
+    if use_bcsr and block_gram:
+        # Averaged primal as a full f32 block accumulator (flat slot axis,
+        # matching the fused dot_general output layout).
+        carry0["avg_blocks"] = jnp.zeros((Kbr, Brow, maxblk * Bcol),
+                                         jnp.float32)
+    elif use_bcsr:
         # Averaged primal on the S̃ pattern as an O(nnz) per-edge vector
         # (last element = padding sink for bcsr_edge_gram_accum).
         carry0["avg_edge"] = jnp.zeros((nnz_s + 1,), dtype)
@@ -347,7 +370,25 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
                    avg_mdiag=avg_mdiag, avg_F=avg_F, avg_H=avg_H,
                    y_D=YD, y_F=YF, y_H=YH,
                    ya_D=ya_D, ya_F=ya_F, ya_H=ya_H, gap=gap)
-        if use_bcsr:
+        if use_bcsr and block_gram:
+            # Averaged Gram via ONE batched dot_general straight into the
+            # block accumulator — no gathers, no scatters (the fix for the
+            # 112 ms/iter edge accumulation at K=100k).  Non-pattern
+            # positions inside stored blocks accumulate garbage that the
+            # epilogue's weight mask zeroes.  The i<nit-1 gate excludes the
+            # final X (mmw.py:77 accumulates pre-update; X_0=I contributes
+            # 0 off-diagonal).
+            Xp = padV(X_half)
+            Xr = Xp.reshape(Kbr, Brow, D_pad)
+            Xc = Xp.reshape(Kbc, Bcol, D_pad)
+            gate = jnp.where(i < nit - 1, 1.0, 0.0).astype(jnp.float32)
+            R = Xc[bcsr.s_blocks.bcols].reshape(Kbr, maxblk * Bcol, D_pad)
+            G = lax.dot_general(Xr, R,
+                                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                precision=_PREC,
+                                preferred_element_type=jnp.float32)
+            out["avg_blocks"] = c["avg_blocks"] + (gate * inv_tr) * G
+        elif use_bcsr:
             # Pattern-restricted Gram as block matmuls accumulated straight
             # onto the per-edge vector (no full [Kbr, maxblk, Br, Bc] Gram
             # buffer).  The average over t=0..nit-1 excludes the final X
@@ -397,7 +438,16 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         return MMWEllOutput(X_half=jnp.zeros((Kp, rank_pad), dtype),
                             ub_final=ub_final, gap_log=c["gap"])
 
-    if use_bcsr:
+    if use_bcsr and block_gram:
+        # The accumulator already IS the block operator; one elementwise
+        # mask by the scattered symmetrization weights (zero at non-pattern
+        # positions) both symmetrizes and masks.
+        wflat = jnp.zeros((Kbr * maxblk * Brow * Bcol,), jnp.float32)
+        wflat = wflat.at[bcsr.s_pos].set(bcsr.w_edge.astype(jnp.float32))
+        wavg = (c["avg_blocks"].reshape(Kbr, Brow, maxblk, Bcol) / nit
+                * wflat.reshape(Kbr, Brow, maxblk, Bcol)).astype(q_dtype)
+        q_avg = q_block_vals(avg_F)
+    elif use_bcsr:
         # Scatter the symmetrization-weighted averaged edge values back into
         # a block operator (the transient full block array exists only here,
         # once, not inside the iteration loop).  Stored in the block dtype
@@ -408,6 +458,8 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         wavg = flat.at[bcsr.s_pos].set(avg_vals.astype(q_dtype)).reshape(
             Kbr, Brow, maxblk, Bcol)
         q_avg = q_block_vals(avg_F)
+
+    if use_bcsr:
         avg_bell = BlockEll(bcols=bcsr.s_blocks.bcols, blocks=wavg,
                             nrows=nrows)
         q_bell = BlockEll(bcols=bcsr.q_bcols, blocks=q_avg, nrows=nrows)

@@ -204,15 +204,19 @@ def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        out_ref[...] += jnp.dot(blocks_ref[0, :, 0, :],
+        out_ref[...] += jnp.dot(blocks_ref[0],
                                 v_ref[...].astype(blk_dtype),
                                 preferred_element_type=acc_dtype)
 
+    # The slot axis is flattened into the trailing dim (free reshape in the
+    # [Kbr, Br, maxblk, Bc] storage layout) so the block shape's last two
+    # dims are a full (Br, Bc) tile — a Mosaic lowering requirement.
+    blocks3 = mat.blocks.reshape(Kbr, Br, maxblk * Bc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Kbr, maxblk),
         in_specs=[
-            pl.BlockSpec((1, Br, 1, Bc), lambda i, s, bcols: (i, 0, s, 0)),
+            pl.BlockSpec((1, Br, Bc), lambda i, s, bcols: (i, 0, s)),
             pl.BlockSpec((Bc, D), lambda i, s, bcols: (bcols[i, s], 0)),
         ],
         out_specs=pl.BlockSpec((Br, D), lambda i, s, bcols: (i, 0)),
@@ -222,7 +226,7 @@ def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Kbr * Br, D), acc_dtype),
         interpret=interpret,
-    )(mat.bcols, mat.blocks, V)
+    )(mat.bcols, blocks3, V)
 
 
 def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128

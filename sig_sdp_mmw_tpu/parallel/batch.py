@@ -251,31 +251,35 @@ class ParallelProbeSearchEll(StatsObject):
 
     # -- jit caches ---------------------------------------------------------
 
-    def _solve_wave_fn(self, ell, D_pad, rank_pad):
+    def _solve_wave_fn(self, D_pad, rank_pad):
+        # The state and operands are ARGUMENTS vmapped with in_axes=None
+        # (broadcast, not replicated) — closing over concrete device arrays
+        # would embed them as literal constants in the lowered module,
+        # which a remote-compile transport rejects at 100k+ scale.
         sig = (D_pad, rank_pad)
         if sig not in self._solve_cache:
             from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
 
-            bcsr = self._bcsr
-
-            def one(Z, key):
+            def one(e, b, Z, key):
                 return mmw_solve_ell(
-                    ell, Z, nit=self.nit, eta=self.eta,
+                    e, Z, nit=self.nit, eta=self.eta,
                     rank_radio=self.rank_radio, D_pad=D_pad,
                     rank_pad=rank_pad, key=key, lanczos_m=self.lanczos_m,
-                    bcsr=bcsr, spmm_row_chunk=self.spmm_row_chunk)
+                    bcsr=b, spmm_row_chunk=self.spmm_row_chunk)
 
-            self._solve_cache[sig] = jax.jit(jax.vmap(one))
+            self._solve_cache[sig] = jax.jit(
+                jax.vmap(one, in_axes=(None, None, 0, 0)))
         return self._solve_cache[sig]
 
-    def _round_wave_fn(self, ell, Z_pad):
+    def _round_wave_fn(self, Z_pad):
         if Z_pad not in self._round_cache:
             from sig_sdp_mmw_tpu.models.rounding_ell import _rounding_single_ell
 
-            def one(gX, Z, key):
-                return _rounding_single_ell(ell, gX, Z, key, Z_pad)
+            def one(e, gX, Z, key):
+                return _rounding_single_ell(e, gX, Z, key, Z_pad)
 
-            self._round_cache[Z_pad] = jax.jit(jax.vmap(one))
+            self._round_cache[Z_pad] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0, 0)))
         return self._round_cache[Z_pad]
 
     # -- search -------------------------------------------------------------
@@ -296,14 +300,15 @@ class ParallelProbeSearchEll(StatsObject):
 
         Zv = jnp.asarray(cands, jnp.float32)
         skeys = jax.random.split(key, cands.size)
-        out = self._solve_wave_fn(ell, D_pad, rank_pad)(Zv, skeys)
+        out = self._solve_wave_fn(D_pad, rank_pad)(ell, self._bcsr, Zv,
+                                                   skeys)
 
         from sig_sdp_mmw_tpu.models.rounding_ell import (
             _BATCH_ATTEMPT_MAX_KP, _rounding_single_ell)
 
         batch_round = ell.Kp <= _BATCH_ATTEMPT_MAX_KP
         if batch_round:
-            rnd = self._round_wave_fn(ell, Z_pad)
+            rnd = self._round_wave_fn(Z_pad)
         Zi = jnp.asarray(cands, jnp.int32)
         best_z = None
         best_rem = None
@@ -311,7 +316,7 @@ class ParallelProbeSearchEll(StatsObject):
             rkeys = jax.random.split(jax.random.fold_in(key, 1000 + attempt),
                                      cands.size)
             if batch_round:
-                z_vecs, rems = rnd(out.X_half, Zi, rkeys)
+                z_vecs, rems = rnd(ell, out.X_half, Zi, rkeys)
             else:
                 # One device execution per candidate: a vmapped wave of
                 # K~100k sequential greedy scans would be one multi-minute

@@ -242,6 +242,30 @@ def test_sparse_mmw_slim_state_and_row_chunk(ell_state, dense_state, fix):
                       key=key)
 
 
+def test_sparse_mmw_gram_modes_agree(ell_state, dense_state, fix):
+    """'block' (dot_general accumulator, the 100k fast path) and 'edge'
+    (per-edge vector, the 1M memory path) averaged-Gram modes must produce
+    the same answer — identical iteration trajectory, same final operator
+    up to float summation order."""
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S, Q, h = state_to_scipy(dense_state)
+    ops = bcsr_operands_from_state(S, Q, block=16)
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    outs = {}
+    for mode in ("block", "edge"):
+        outs[mode] = jax.jit(lambda e, k, b: mmw_solve_ell(
+            e, Z, nit=20, eta=0.05, D_pad=32, rank_pad=32, key=k, bcsr=b,
+            gram_mode=mode))(ell_state, key, ops)
+    assert float(outs["block"].ub_final) == pytest.approx(
+        float(outs["edge"].ub_final), abs=1e-7)
+    Gb = np.asarray(outs["block"].X_half) @ np.asarray(outs["block"].X_half).T
+    Ge = np.asarray(outs["edge"].X_half) @ np.asarray(outs["edge"].X_half).T
+    np.testing.assert_allclose(Gb, Ge, atol=1e-5 * max(np.abs(Ge).max(), 1e-9))
+
+
 def test_sparse_mmw_segmented_matches_single_shot(ell_state, dense_state,
                                                   fix):
     """Segmented execution (carry passed across several device programs)

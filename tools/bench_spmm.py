@@ -97,6 +97,26 @@ def main(cells=(183,), D=64, reps=10, d_sweep=(48, 128)):
             f_b = jax.jit(lambda b, v: jnp.sum(bcsr_spmm(b, v)))
             add(tag, bench_one(f_b, (bell, Vp), reps), nbytes)
             if blk == (128, 128) and dt == jnp.bfloat16:
+                # CHAINED x16: one dispatch, 16 dependent applications —
+                # subtracts the tunnel's per-call latency floor (~25 ms)
+                # that swamps every single-apply row above.
+                NCH = 16
+
+                def chain(b, v):
+                    def step(u, _):
+                        u = bcsr_spmm(b, u)
+                        return u * (1.0 / (jnp.max(jnp.abs(u)) + 1.0)), None
+                    u, _ = jax.lax.scan(step, v, None, length=NCH)
+                    return u
+                f_ch = jax.jit(lambda b, v: jnp.sum(chain(b, v)))
+                t_ch = bench_one(f_ch, (bell, Vp), reps)
+                rec["ms"][tag + "_chain16_per_apply"] = round(
+                    t_ch * 1e3 / NCH, 3)
+                rec["gbps"][tag + "_chain16_per_apply"] = round(
+                    nbytes * NCH / t_ch / 1e9, 1)
+                print(f"  {tag}_chain16: {t_ch*1e3:.1f} ms total, "
+                      f"{t_ch*1e3/NCH:.2f} ms/apply, "
+                      f"{nbytes*NCH/t_ch/1e9:.0f} GB/s")
                 # chunked variant + transpose pair on the same operands
                 f_c = jax.jit(lambda b, v: jnp.sum(
                     bcsr_spmm(b, v, row_chunk=2048)))

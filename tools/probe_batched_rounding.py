@@ -46,7 +46,7 @@ t0 = time.time()
 z, rem = _rounding_batch_ell(ell, out.X_half, Z, jax.random.PRNGKey(1),
                              Z_pad=Z_pad, nattempt=natt)
 rem = int(rem)
-print(f"RESULT ok rem={rem} wall={time.time()-t0:.1f}", flush=True)
+print("RESULT ok rem=%d wall=%.1f" % (rem, time.time()-t0), flush=True)
 """
 
 
