@@ -118,6 +118,12 @@ def _bench_large(jax, cell=183, nit=30, lanczos_m=8, block=128):
 
     kind = jax.devices()[0].device_kind
     peak = next((v for pat, v in _PEAK_BF16.items() if pat in kind), None)
+    # HBM roofline: the block-sparse iteration is BANDWIDTH-bound — each
+    # SpMM-equivalent streams the full block array (bf16).  v5e HBM peak:
+    # 819 GB/s (public spec).
+    blk_bytes = int(ops.s_blocks.blocks.size) * ops.s_blocks.blocks.dtype.itemsize
+    streamed = n_spmm * blk_bytes
+    hbm_peak = 819e9 if "v5" in kind else None
     return {
         "K": K,
         "nnz": nnz,
@@ -129,6 +135,10 @@ def _bench_large(jax, cell=183, nit=30, lanczos_m=8, block=128):
         "useful_gflops": round(useful / per_it / 1e9, 1),
         "mxu_gflops": round(performed / per_it / 1e9, 1),
         "mfu_pct": round(100 * performed / per_it / peak, 2) if peak else None,
+        "streamed_gb_per_iter": round(streamed / 1e9, 2),
+        "achieved_gbps": round(streamed / per_it / 1e9, 1),
+        "hbm_frac_pct": round(100 * streamed / per_it / hbm_peak, 1)
+        if hbm_peak else None,
         "device": kind,
         "block_fill_pct": round(100 * nnz / ops.s_blocks.blocks.size, 2),
     }

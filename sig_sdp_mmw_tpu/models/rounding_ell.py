@@ -180,14 +180,15 @@ def _rounding_single_ell(ell: EllState, gX, Z, key, Z_pad: int):
 # Batching trades the reference's first-success early exit
 # (sdp_solver.py:18-25) for one device program whose sequential user scan is
 # shared by all attempts — a clear win at small K.  The default cap is an
-# ENVIRONMENT capability, not a law: on the tunneled TPU runtime of this
-# image, any single device execution lasting multiple minutes kills the
-# remote worker (reproduced by tools/probe_batched_rounding.py: the crash
-# tracks EXECUTION TIME, not buffer bytes — Kp~100k crashes even at
-# Z_pad=16 while bigger-byte short programs run fine), and a batched
-# 100k-row greedy is exactly such an execution.  On directly-attached
-# hardware raise SIG_SDP_BATCH_ROUNDING_MAX_KP to taste; at large K the
-# sequential loop's first-success early exit is usually the better
+# ENVIRONMENT capability, not a law: this image's tunneled TPU worker kills
+# executions above a per-execution WORK ceiling (rows x attempts — NOT
+# bytes, NOT wall time alone).  Measured boundary in
+# BATCH_ROUNDING_PROBE.json (tools/probe_batched_rounding.py, subprocess-
+# isolated): 33k rows x 10 attempts ok (97 s), 66k x 10 crashes the
+# worker, 66k x 2 ok (80 s).  The same ceiling caps solver iterations per
+# execution at 1M links (tools/million_link.py --segment).  On directly-
+# attached hardware raise SIG_SDP_BATCH_ROUNDING_MAX_KP to taste; at large
+# K the sequential loop's first-success early exit is usually the better
 # semantics anyway (feasible probes succeed on attempt 1).
 _BATCH_ATTEMPT_MAX_KP = int(os.environ.get("SIG_SDP_BATCH_ROUNDING_MAX_KP",
                                            16384))

@@ -201,11 +201,19 @@ class ParallelProbeSearchEll(StatsObject):
     sequential bisection (``binary_search_relaxation.py:44-72``) pays
     ~log2(window) probe latencies end to end.  Here each WAVE solves
     ``wave`` candidate Z values simultaneously — one vmap over the traced Z
-    (the state and BCSR operands are closed over, so they are NOT
-    replicated per candidate) — then the window narrows to the gap between
-    the largest infeasible and the smallest feasible candidate.  A wave of
-    W candidates splits the window into W-1 segments, so the search
-    resolves in ~log_{W-1}(window) waves instead of log2(window) probes.
+    (the state and BCSR operands are broadcast, NOT replicated per
+    candidate) — then the window narrows to the gap between the largest
+    infeasible and the smallest feasible candidate.  A wave of W candidates
+    splits the window into W-1 segments, so the search resolves in
+    ~log_{W-1}(window) waves instead of log2(window) probes.
+
+    WHEN IT PAYS: the wave's W probes must actually run in parallel —
+    i.e. the batch axis sharded across devices, or per-probe work too
+    small to fill one chip.  On a SINGLE chip at K=100k each probe already
+    saturates the MXU, so a wave costs ~W probe-times and plain bisection
+    is faster (measured: E2E_LARGE_SPEC.json 1643 s vs E2E_LARGE.json
+    562 s at the same Z answer); this class is the multi-chip search
+    skeleton, certified single-chip for answer-equality.
 
     Same ``run(ell) -> (z_vec, Z, rem)`` contract as
     :class:`sig_sdp_mmw_tpu.models.search.BinarySearchRelaxation`.
@@ -215,7 +223,8 @@ class ParallelProbeSearchEll(StatsObject):
                  nattempt: int = 3, seed: int = 0,
                  lanczos_m: Optional[int] = None, wave: int = 4,
                  use_bcsr: bool = False, spmm_row_chunk: Optional[int] = None,
-                 d_pad_cap: Optional[int] = None):
+                 d_pad_cap: Optional[int] = None,
+                 wave_segment: Optional[int] = None):
         self.nit = nit
         self.eta = eta
         self.rank_radio = rank_radio
@@ -231,6 +240,12 @@ class ParallelProbeSearchEll(StatsObject):
         # solver's D_act clamp makes a truncated sketch a valid (slightly
         # coarser) relaxation probe.
         self.d_pad_cap = d_pad_cap
+        # Iterations per device execution for the wave solve.  A wave runs
+        # wave*nit solver iterations in ONE execution; runtimes that bound
+        # per-execution work (the tunneled TPU worker) need it split into
+        # carry-passing segments — same mechanism as
+        # tools/million_link.py --segment.  None = single-shot.
+        self.wave_segment = wave_segment
         self._key = jax.random.PRNGKey(seed)
         self._ncall = 0
         self._bcsr = None
@@ -271,6 +286,56 @@ class ParallelProbeSearchEll(StatsObject):
                 jax.vmap(one, in_axes=(None, None, 0, 0)))
         return self._solve_cache[sig]
 
+    def _seg_wave_fns(self, D_pad, rank_pad, nsteps):
+        """(first, mid, fin) vmapped segmented wave solvers."""
+        sig = ("seg", D_pad, rank_pad, nsteps)
+        if sig not in self._solve_cache:
+            from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+
+            kw = dict(nit=self.nit, eta=self.eta,
+                      rank_radio=self.rank_radio, D_pad=D_pad,
+                      rank_pad=rank_pad, lanczos_m=self.lanczos_m,
+                      spmm_row_chunk=self.spmm_row_chunk)
+
+            def first(e, b, Z, key, i0):
+                return mmw_solve_ell(e, Z, key=key, bcsr=b, carry_in=None,
+                                     it_start=i0, num_steps=nsteps,
+                                     return_carry=True, **kw)
+
+            def mid(e, b, Z, key, c, i0):
+                return mmw_solve_ell(e, Z, key=key, bcsr=b, carry_in=c,
+                                     it_start=i0, num_steps=nsteps,
+                                     return_carry=True, **kw)
+
+            def fin(e, b, Z, key, c):
+                return mmw_solve_ell(e, Z, key=key, bcsr=b, carry_in=c,
+                                     it_start=self.nit, num_steps=0, **kw)
+
+            self._solve_cache[sig] = (
+                jax.jit(jax.vmap(first, in_axes=(None, None, 0, 0, None))),
+                jax.jit(jax.vmap(mid, in_axes=(None, None, 0, 0, 0, None))),
+                jax.jit(jax.vmap(fin, in_axes=(None, None, 0, 0, 0))))
+        return self._solve_cache[sig]
+
+    def _solve_wave(self, ell, Zv, skeys, D_pad, rank_pad):
+        ns = self.wave_segment
+        if not ns or ns >= self.nit:
+            return self._solve_wave_fn(D_pad, rank_pad)(ell, self._bcsr,
+                                                        Zv, skeys)
+        nfull = self.nit // ns
+        first, mid, fin = self._seg_wave_fns(D_pad, rank_pad, ns)
+        c = first(ell, self._bcsr, Zv, skeys, 0)
+        float(c["eaD"][0, 0])          # execution boundary (see million_link)
+        for s in range(1, nfull):
+            c = mid(ell, self._bcsr, Zv, skeys, c, s * ns)
+            float(c["eaD"][0, 0])
+        rem = self.nit - nfull * ns
+        if rem:
+            _, mid_r, _ = self._seg_wave_fns(D_pad, rank_pad, rem)
+            c = mid_r(ell, self._bcsr, Zv, skeys, c, nfull * ns)
+            float(c["eaD"][0, 0])
+        return fin(ell, self._bcsr, Zv, skeys, c)
+
     def _round_wave_fn(self, Z_pad):
         if Z_pad not in self._round_cache:
             from sig_sdp_mmw_tpu.models.rounding_ell import _rounding_single_ell
@@ -300,8 +365,7 @@ class ParallelProbeSearchEll(StatsObject):
 
         Zv = jnp.asarray(cands, jnp.float32)
         skeys = jax.random.split(key, cands.size)
-        out = self._solve_wave_fn(D_pad, rank_pad)(ell, self._bcsr, Zv,
-                                                   skeys)
+        out = self._solve_wave(ell, Zv, skeys, D_pad, rank_pad)
 
         from sig_sdp_mmw_tpu.models.rounding_ell import (
             _BATCH_ATTEMPT_MAX_KP, _rounding_single_ell)

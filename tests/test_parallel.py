@@ -184,6 +184,16 @@ def test_parallel_probe_search_ell(ref_state, fix):
     z2, Z2, rem2 = pp2.run(ell)
     assert rem2 == 0 and abs(Z2 - int(fix["Z_fin"])) <= 1
 
+    # Segmented wave solves (the bounded-execution-runtime mode) must give
+    # the SAME search outcome as the single-shot wave (identical PRNG
+    # streams via absolute iteration indices).
+    pp3 = ParallelProbeSearchEll(nit=80, eta=0.05, seed=0, wave=4,
+                                 use_bcsr=True,
+                                 wave_segment=30).prepare(ell, S, Q,
+                                                          block=16)
+    z3, Z3, rem3 = pp3.run(ell)
+    assert rem3 == 0 and Z3 == Z
+
 
 def test_env_generation_vmaps():
     """Scenario generation is itself vmappable over seeds."""

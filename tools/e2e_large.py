@@ -34,7 +34,7 @@ print = functools.partial(print, flush=True)
 
 def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
          block=128, out_path=None, use_bcsr=True, d_pad=None, platform=None,
-         search="binary", wave=4, row_chunk=None):
+         search="binary", wave=4, row_chunk=None, wave_segment=None):
     import jax
 
     if platform:
@@ -102,7 +102,8 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
         pp = ParallelProbeSearchEll(nit=nit, eta=eta, nattempt=nattempt,
                                     seed=seed, wave=wave, use_bcsr=use_bcsr,
                                     spmm_row_chunk=row_chunk,
-                                    d_pad_cap=d_pad)
+                                    d_pad_cap=d_pad,
+                                    wave_segment=wave_segment)
         pp._bcsr = alg._bcsr if use_bcsr else None   # reuse device operands
         z_vec, Z_fin, rem = pp.run(ell)
         rec["phases_s"]["search"] = round(time.time() - t0, 2)
@@ -233,9 +234,11 @@ if __name__ == "__main__":
     ap.add_argument("--search", type=str, default="binary",
                     choices=("binary", "speculative"))
     ap.add_argument("--wave", type=int, default=4)
+    ap.add_argument("--wave-segment", type=int, default=None)
     ap.add_argument("--row-chunk", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, a.seed, a.nit, a.eta, a.nattempt, a.block, a.out,
          use_bcsr=not a.no_bcsr, d_pad=a.d_pad, platform=a.platform,
-         search=a.search, wave=a.wave, row_chunk=a.row_chunk)
+         search=a.search, wave=a.wave, row_chunk=a.row_chunk,
+         wave_segment=a.wave_segment)
