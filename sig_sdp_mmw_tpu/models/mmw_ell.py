@@ -506,6 +506,38 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
     return MMWEllOutput(X_half=X_half, ub_final=ub_final, gap_log=c["gap"])
 
 
+def mmw_ell_ub_from_carry(ell, Z, carry, n):
+    """Max constraint violation of the n-iteration AVERAGED primal, read
+    straight from a segmented-run carry (the reference's LOG_GAP UB,
+    ``mmw.py:79-95``) — lets a segmented driver log the convergence curve
+    at segment boundaries for the cost of O(Kp + E) vector math.
+
+    ``ell`` may be EllState or EllSlim; ``n`` may be traced."""
+    dtype = carry["avg_mdiag"].dtype
+    Zf = jnp.asarray(Z, dtype)
+    K = ell.K
+    if hasattr(ell, "s_vals"):
+        S_sum = jnp.sum(ell.s_vals, axis=1)
+        row2 = jnp.sum(ell.s_vals * ell.s_vals, axis=1)
+    else:
+        S_sum, row2 = ell.S_sum, ell.row2
+    norm_H = (jnp.sqrt(row2) * (Zf - 1.0) / (2.0 * Zf)
+              + jnp.abs(ell.h_max / K - S_sum / (K * Zf)))
+    norm_H = jnp.where(ell.mask & (norm_H > 0), norm_H, 1.0)
+    nf = jnp.asarray(n, dtype)
+    avg_mdiag = carry["avg_mdiag"] / nf
+    avg_F = carry["avg_F"] / nf
+    avg_H = carry["avg_H"] / nf
+    eD = (avg_mdiag - 1.0) / (1.0 - 1.0 / K)
+    eF = (avg_F + 1.0 / (Zf - 1.0)) / (1.0 / (K * (Zf - 1.0)) + 0.5)
+    eH = (avg_H * (Zf - 1.0) / Zf - (ell.h_max - S_sum / Zf)) / norm_H
+    neg = jnp.asarray(-jnp.inf, dtype)
+    return jnp.max(jnp.maximum(
+        jnp.max(jnp.where(ell.mask, eD, neg)),
+        jnp.maximum(jnp.max(jnp.where(ell.a_mask, eF, neg)),
+                    jnp.max(jnp.where(ell.mask, eH, neg)))))
+
+
 from sig_sdp_mmw_tpu.utils.stats import StatsObject as _StatsObject
 
 

@@ -242,6 +242,28 @@ def test_sparse_mmw_slim_state_and_row_chunk(ell_state, dense_state, fix):
                       key=key)
 
 
+def test_mmw_ell_ub_from_carry_matches_ub_final(ell_state, dense_state, fix):
+    """The segment-boundary UB telemetry must equal the solver's own
+    ub_final when read at n = nit."""
+    from sig_sdp_mmw_tpu.core.problem import state_to_scipy
+    from sig_sdp_mmw_tpu.models.mmw_ell import mmw_ell_ub_from_carry
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S, Q, h = state_to_scipy(dense_state)
+    ops = bcsr_operands_from_state(S, Q, block=16)
+    Z = float(fix["Z_fin"])
+    key = jax.random.PRNGKey(0)
+    NIT = 15
+    kw = dict(nit=NIT, eta=0.05, D_pad=32, rank_pad=32, bcsr=ops)
+    out = jax.jit(lambda e, k: mmw_solve_ell(e, Z, key=k, **kw)
+                  )(ell_state, key)
+    c = jax.jit(lambda e, k: mmw_solve_ell(e, Z, key=k, return_carry=True,
+                                           **kw))(ell_state, key)
+    ub = float(jax.jit(lambda e, cc: mmw_ell_ub_from_carry(e, Z, cc, NIT)
+                       )(ell_state, c))
+    assert ub == pytest.approx(float(out.ub_final), abs=1e-6)
+
+
 def test_sparse_mmw_gram_modes_agree(ell_state, dense_state, fix):
     """'block' (dot_general accumulator, the 100k fast path) and 'edge'
     (per-edge vector, the 1M memory path) averaged-Gram modes must produce

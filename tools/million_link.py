@@ -140,7 +140,8 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
     print(f"budget: {rec['budget_gb']}")
 
     try:
-        from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+        from sig_sdp_mmw_tpu.models.mmw_ell import (mmw_ell_ub_from_carry,
+                                                     mmw_solve_ell)
 
         t0 = time.time()
         slim = jax.device_put(slim)
@@ -166,16 +167,22 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
             fin_fn = jax.jit(lambda e, k, b, c: mmw_solve_ell(
                 e, Z, key=k, bcsr=b, carry_in=c, it_start=nit, num_steps=0,
                 **kw))
+            # Convergence telemetry: the averaged-X max violation (the
+            # reference's LOG_GAP UB) at every segment boundary — the
+            # scalar pull doubles as the execution barrier the tunneled
+            # worker needs (block_until_ready returns early on large
+            # arrays, letting segments pile into one continuous
+            # device-busy period that the watchdog kills).
+            ub_fn = jax.jit(lambda e, cc, n: mmw_ell_ub_from_carry(
+                e, Z, cc, n))
+            ub_curve = []
             t0 = time.time()
             c = seg_fn(slim, key, ops, None, 0)
-            # Scalar pull = the only reliable completion barrier on the
-            # tunneled device (block_until_ready returns early on large
-            # arrays, letting segments pile into one continuous device-busy
-            # period that the worker's watchdog kills).
-            float(c["eaD"][0])
+            ub_i = float(ub_fn(slim, c, min(segment, nit)))
+            ub_curve.append([min(segment, nit), round(ub_i, 4)])
             rec["phases_s"]["compile"] = round(time.time() - t0, 1)
             rec["segment"] = segment
-            print(f"segment 0..{min(segment, nit)} done "
+            print(f"segment 0..{min(segment, nit)} done ub={ub_i:.4f} "
                   f"(incl compile {rec['phases_s']['compile']}s)")
             t0 = time.time()
             i0 = min(segment, nit)
@@ -188,9 +195,12 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
                         e, Z, key=k, bcsr=b, carry_in=cc, it_start=j0,
                         num_steps=i1 - i0, return_carry=True, **kw)
                     )(slim, key, ops, c, i0)
-                float(c["eaD"][0])
-                print(f"segment {i0}..{i1} done [{time.time() - t0:.0f}s]")
+                ub_i = float(ub_fn(slim, c, i1))
+                ub_curve.append([i1, round(ub_i, 4)])
+                print(f"segment {i0}..{i1} done ub={ub_i:.4f} "
+                      f"[{time.time() - t0:.0f}s]")
                 i0 = i1
+            rec["ub_curve"] = ub_curve
             out = fin_fn(slim, key, ops, c)
             ub = float(out.ub_final)
             rec["phases_s"]["solve"] = round(time.time() - t0, 1)
