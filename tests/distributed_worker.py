@@ -65,9 +65,45 @@ def main(addr: str, n: int, pid: int, out_path: str) -> None:
     ub = float(np.asarray(
         multihost_utils.process_allgather(out.ub_final, tiled=True)).ravel()[0])
 
+    # (d) the sparse BLOCK-NATIVE (ELL + BCSR) path over the cross-process
+    # mesh: block rows sharded across the global graph axis, GSPMD inserts
+    # the cross-process collectives for the block gathers.
+    import scipy.sparse
+
+    from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+    from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    st0 = _tiny_state(K=28, Kp=32, seed=0)
+    S = scipy.sparse.csr_matrix(np.asarray(st0.S, np.float64)[:28, :28])
+    Q = scipy.sparse.csr_matrix(np.asarray(st0.Q, np.float64)[:28, :28])
+    h = np.asarray(st0.h_max, np.float64)[:28]
+    ell = ell_from_scipy(S, Q, h, pad_rows_to=32)
+    ops = bcsr_operands_from_state(S, Q, block=(8, 8), pad_rows_to=32)
+    Kbr = ops.s_blocks.Kb
+
+    def put(a, shard_rows):
+        spec = NamedSharding(
+            mesh, P(("batch", "graph"), *([None] * (a.ndim - 1)))) \
+            if shard_rows else rep
+        return jax.make_array_from_callback(
+            a.shape, spec, lambda idx, _a=a: np.asarray(_a)[idx])
+
+    ops_sh = jax.tree.map(
+        lambda a: put(a, a.ndim >= 1 and a.shape[0] == Kbr)
+        if hasattr(a, "shape") else a, ops)
+    ell_r = jax.tree.map(
+        lambda a: put(a, False) if hasattr(a, "shape") else a, ell)
+    sout = jax.jit(lambda e, k, b: mmw_solve_ell(
+        e, 5.0, nit=4, eta=0.05, D_pad=16, rank_pad=16, key=k, lanczos_m=8,
+        bcsr=b))(ell_r, key, ops_sh)
+    sparse_ub = float(np.asarray(multihost_utils.process_allgather(
+        sout.ub_final, tiled=True)).ravel()[0])
+
     with open(out_path, "w") as f:
         json.dump(dict(pid=pid, nproc=jax.process_count(),
-                       ndev=len(jax.devices()), psum=psum_val, ub=ub), f)
+                       ndev=len(jax.devices()), psum=psum_val, ub=ub,
+                       sparse_ub=sparse_ub), f)
 
 
 if __name__ == "__main__":

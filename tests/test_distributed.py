@@ -59,3 +59,23 @@ def test_two_process_distributed(tmp_path):
         st, jax.random.PRNGKey(0))
     np.testing.assert_allclose(recs[0]["ub"], float(want.ub_final),
                                rtol=1e-5)
+
+    # Sparse/BCSR path over the cross-process mesh: both processes agree
+    # and match the single-process block-native answer.
+    assert recs[0]["sparse_ub"] == recs[1]["sparse_ub"]
+    import scipy.sparse
+
+    from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+    from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S = scipy.sparse.csr_matrix(np.asarray(st.S, np.float64)[:28, :28])
+    Q = scipy.sparse.csr_matrix(np.asarray(st.Q, np.float64)[:28, :28])
+    h = np.asarray(st.h_max, np.float64)[:28]
+    ell = ell_from_scipy(S, Q, h, pad_rows_to=32)
+    ops = bcsr_operands_from_state(S, Q, block=(8, 8), pad_rows_to=32)
+    swant = jax.jit(lambda e, k, b: mmw_solve_ell(
+        e, 5.0, nit=4, eta=0.05, D_pad=16, rank_pad=16, key=k, lanczos_m=8,
+        bcsr=b))(ell, jax.random.PRNGKey(0), ops)
+    np.testing.assert_allclose(recs[0]["sparse_ub"], float(swant.ub_final),
+                               rtol=1e-4)
