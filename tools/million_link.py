@@ -1,16 +1,22 @@
-"""Million-link configuration (BASELINE.json config 5): generation, memory
-budget, and a real-chip solver attempt.
+"""Million-link pipeline (BASELINE.json config 5) on one chip: generation,
+memory budget, segmented block-native MMW solve with a per-segment
+convergence (UB) curve, greedy rounding and independent verification.
 
 Every phase is guarded; whatever fails is recorded with numbers, so the
-artifact (MILLION_LINK.json) is either a demonstration or a quantified
-failure analysis.  Phases:
+artifact is either a demonstration or a quantified failure analysis.
+Phases:
 
 1. generate cell~580 (K ~ 1.0M links) with the native C++ builder;
-2. build the ELL state + lean BCSR operands (bf16 blocks, no stored
-   transpose) and tabulate the host/device byte budget vs the chip's HBM;
-3. transfer + run the block-native MMW for a few iterations on the real
-   chip (per-iteration time at 1M links);
-4. optionally (--rounding) one greedy rounding attempt + host verification.
+2. build the SLIM solver state + lean BCSR operands (bf16 blocks, no
+   stored transpose) and tabulate the byte budget vs the chip's HBM;
+3. segmented solve (--segment N iterations per device execution — the
+   tunneled TPU worker kills executions above a per-execution work
+   ceiling; 3 is the measured safe envelope at 1M) logging the averaged-X
+   max violation at each boundary;
+4. (--rounding) greedy rounding attempts + host CSR verification.
+
+MILLION_LINK_FEASIBLE.json is the round-4 headline: K=1,009,200 solved,
+rounded rem=0 and verified 0 violations at Z=lb+6.
 """
 
 import argparse

@@ -20,12 +20,12 @@ from sig_sdp_mmw_tpu.models import mmw_solve
 
 def timed(fn, *args, n=3):
     out = fn(*args)
-    jax.block_until_ready(out.X_half)
+    float(out.ub_final)   # scalar pull: reliable barrier on tunneled device
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out.X_half)
+        float(out.ub_final)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)), out
 
