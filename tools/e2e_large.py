@@ -34,7 +34,8 @@ print = functools.partial(print, flush=True)
 
 def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
          block=128, out_path=None, use_bcsr=True, d_pad=None, platform=None,
-         search="binary", wave=4, row_chunk=None, wave_segment=None):
+         search="binary", wave=4, row_chunk=None, wave_segment=None,
+         bf16=True):
     import jax
 
     if platform:
@@ -47,7 +48,7 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
 
     rec = {"config": {"cell": cell, "rho": rho, "seed": seed, "nit": nit,
                       "eta": eta, "nattempt": nattempt, "block": block,
-                      "use_bcsr": use_bcsr},
+                      "use_bcsr": use_bcsr, "bf16_blocks": bf16},
            "device": str(jax.devices()[0]).split(":")[0],
            "phases_s": {}}
 
@@ -73,8 +74,15 @@ def main(cell=183, rho=75e-4, seed=0, nit=150, eta=0.05, nattempt=10,
     alg = MMWEll(nit=nit, eta=eta, use_bcsr=use_bcsr, nattempt=nattempt,
                  seed=seed)
     if use_bcsr:
+        import jax.numpy as jnp
+
         t0 = time.time()
-        alg.prepare(ell, S, Q, block=block)
+        # bf16 blocks + stored transpose: halves the per-apply HBM stream
+        # and turns the S-tilde^T matvec into a gather SpMM (value noise
+        # ~0.4%/entry, inside MMW's first-order tolerance — validated in
+        # tests/test_ell.py lean-mode equality).
+        bkw = dict(dtype=jnp.bfloat16, store_transpose=True) if bf16 else {}
+        alg.prepare(ell, S, Q, block=block, **bkw)
         alg._bcsr = jax.device_put(alg._bcsr)
         jax.block_until_ready(alg._bcsr.s_blocks.blocks)
         rec["phases_s"]["bcsr_build"] = round(time.time() - t0, 2)
@@ -235,10 +243,12 @@ if __name__ == "__main__":
                     choices=("binary", "speculative"))
     ap.add_argument("--wave", type=int, default=4)
     ap.add_argument("--wave-segment", type=int, default=None)
+    ap.add_argument("--f32-blocks", action="store_true",
+                    help="store BCSR blocks in f32 (default bfloat16)")
     ap.add_argument("--row-chunk", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, a.seed, a.nit, a.eta, a.nattempt, a.block, a.out,
          use_bcsr=not a.no_bcsr, d_pad=a.d_pad, platform=a.platform,
          search=a.search, wave=a.wave, row_chunk=a.row_chunk,
-         wave_segment=a.wave_segment)
+         wave_segment=a.wave_segment, bf16=not a.f32_blocks)
