@@ -141,6 +141,9 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         maxblk = bcsr.s_blocks.bcols.shape[1]
         maxblkQ = bcsr.q_bcols.shape[1]
         nnz_s = bcsr.nnz
+        if gram_mode not in ("auto", "block", "edge"):
+            raise ValueError(
+                f"gram_mode must be 'auto', 'block' or 'edge', got {gram_mode!r}")
         if gram_mode == "auto":
             block_gram = Kbr * Brow * maxblk * Bcol * 4 <= 2 * 2**30
         else:

@@ -256,11 +256,11 @@ class BcsrOperands:
       output to edge ids (:func:`bcsr_edge_gram_accum`); ``w_edge`` [nnz]
       holds the symmetrization weights (1 one-way / 0.5 bidirectional) in
       the same edge order; ``s_pos`` [nnz] are flat positions into
-      [Kbr, maxblk, Br, Bc] for scattering averaged edge values back into a
+      [Kbr, Br, maxblk, Bc] for scattering averaged edge values back into a
       block operator at the end;
     * association-edge block layout: ``q_bcols`` plus flat scatter positions
       ``q_pos``/source ids ``q_eidx`` mapping the [E_pad] upper-tri edge
-      value vector into a [Kbr, maxblkQ, Br, Bc] block array (both
+      value vector into a [Kbr, Br, maxblkQ, Bc] block array (both
       directions).
     """
 

@@ -121,8 +121,13 @@ def lanczos_tridiag(matvec: MatVec, V: jax.Array, m: int, reorth: bool = True
         q_next = _safe_div(w, beta_out)
         # In-place-aliasable slot write (a full-Q jnp.where select forces a
         # second [m, K, D] buffer in the scan carry — at K=750k that is an
-        # extra 1+ GB of XLA temp).
-        Q = jax.lax.dynamic_update_index_in_dim(Q, q_next, j + 1, axis=0)
+        # extra 1+ GB of XLA temp).  The final step (j = m-1) has no slot
+        # to write — j+1 would clamp to m-1 and overwrite Q[m-1] — so the
+        # written value is gated to the existing slot content there.
+        idx = jnp.minimum(j + 1, m - 1)
+        cur = jax.lax.dynamic_index_in_dim(Q, idx, axis=0, keepdims=False)
+        val = jnp.where(j + 1 < m, q_next, cur)
+        Q = jax.lax.dynamic_update_index_in_dim(Q, val, idx, axis=0)
         return (Q, q, q_next, beta_out), (alpha, beta_out)
 
     init = (Q0, jnp.zeros_like(q0), q0, jnp.zeros((D,), dtype))
@@ -156,6 +161,11 @@ def lanczos_expm_multiply(matvec: MatVec, V: jax.Array, m: int,
     off = jax.vmap(lambda x: jnp.diag(x, k=1))(b)
     T = T + off + jnp.swapaxes(off, -1, -2)
 
+    if small_method == "pade":          # legacy alias for the pre-rename path
+        small_method = "taylor_ss"
+    if small_method not in ("taylor_ss", "eigh"):
+        raise ValueError(
+            f"small_method must be 'taylor_ss' or 'eigh', got {small_method!r}")
     if small_method == "taylor_ss":
         # Matmul-only small expm: static Taylor scaling-and-squaring (fast
         # path on TPU; see _expm_e1_batched_sym).

@@ -400,9 +400,13 @@ class ParallelProbeSearchEll(StatsObject):
                 better = rems < best_rem
                 best_z = np.where(better[:, None], z_vecs, best_z)
                 best_rem = np.minimum(rems, best_rem)
-            if (best_rem == 0).any():
-                # The answer only needs the SMALLEST feasible candidate;
-                # retrying candidates above it cannot improve the answer.
+            if best_rem[0] == 0:
+                # cands is sorted ascending: once the SMALLEST candidate is
+                # feasible nothing in this wave can improve the answer.
+                # (Candidates below a larger feasible Z must keep their full
+                # nattempt budget — the sequential reference grants every
+                # probe all attempts, and an early exit here would record
+                # them permanently infeasible in `probed`.)
                 break
         return best_z, best_rem
 
