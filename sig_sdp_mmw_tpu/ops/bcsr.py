@@ -229,6 +229,228 @@ def bcsr_spmm_pallas(mat: BlockEll, V: jax.Array,
     )(mat.bcols, blocks3, V)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlatBsr:
+    """Flat block-CSR sparse matrix: only the blocks that exist are stored.
+
+    The ELL layout (:class:`BlockEll`) pads every block-row to the MAX block
+    count — at K=100k that is 1.5-1.7x more stored (and streamed) bytes than
+    the real blocks (maxblk is a max, the mean is far lower).  Here blocks
+    live in one flat list in block-CSR order (row-major), grouped ``G`` at a
+    time per grid step for the Pallas kernel
+    (:func:`bsr_spmm_pallas_flat`); each row's block count is padded only to
+    a multiple of G (zero blocks, bcol=0).
+
+    ``brows[i]`` is the block-row of grid step i — steps of one block-row
+    are CONSECUTIVE, which is what lets the Pallas kernel keep the output
+    row-block resident in VMEM and flush it exactly once per row.
+    """
+
+    brows: jax.Array    # [nsteps] int32 — block-row id per grid step
+    bcols: jax.Array    # [nsteps*G] int32 — column-block ids, flat (a 1-D
+                        # array: SMEM pads the last axis to 128 lanes, so a
+                        # [nsteps, G] layout would blow the 1 MB SMEM budget)
+    blocks: jax.Array   # [nsteps, Br, G*Bc] — G dense blocks side by side
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def G(self) -> int:
+        return self.bcols.shape[0] // self.brows.shape[0]
+
+    @property
+    def Br(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def Bc(self) -> int:
+        return self.blocks.shape[2] // self.G
+
+    @property
+    def nsteps(self) -> int:
+        return self.brows.shape[0]
+
+
+def bsr_flat_from_csr(M, block=128, group: int = 4,
+                      pad_rows_to: Optional[int] = None,
+                      dtype=np.float32) -> FlatBsr:
+    """Host-side flat block-CSR build from a scipy CSR matrix.
+
+    Every block-row gets at least one group (so the kernel initializes every
+    output row-block), and its block list is padded to a multiple of
+    ``group`` with zero blocks targeting column-block 0.
+    """
+    Br, Bc = _block_pair(block)
+    M = M.tocsr()
+    K = M.shape[0]
+    lcm = Br * Bc // math.gcd(Br, Bc)
+    Kp = pad_rows_to or ((K + lcm - 1) // lcm) * lcm
+    Kbr = Kp // Br
+    Kbc = Kp // Bc
+
+    coo = M.tocoo()
+    br = coo.row.astype(np.int64) // Br
+    bc = coo.col.astype(np.int64) // Bc
+    blk_id = br * Kbc + bc
+    uniq, inv = np.unique(blk_id, return_inverse=True)
+    ubr, ubc = uniq // Kbc, uniq % Kbc
+
+    counts = np.bincount(ubr, minlength=Kbr)          # blocks per block-row
+    padded = np.maximum(np.ceil(counts / group).astype(np.int64), 1) * group
+    starts = np.zeros(Kbr + 1, np.int64)
+    np.cumsum(padded, out=starts[1:])
+    nblk_pad = int(starts[-1])
+    nsteps = nblk_pad // group
+
+    # Slot of each unique block inside the padded flat list.
+    order = np.argsort(ubr, kind="stable")
+    within = np.arange(uniq.size) - np.concatenate(
+        ([0], np.cumsum(np.bincount(ubr, minlength=Kbr))))[ubr[order]]
+    slot_of_uniq = np.empty(uniq.size, np.int64)
+    slot_of_uniq[order] = starts[ubr[order]] + within
+
+    bcols = np.zeros(nblk_pad, np.int32)
+    bcols[slot_of_uniq] = ubc
+    brows = np.repeat(np.arange(Kbr, dtype=np.int32), padded // group)
+
+    blocks = np.zeros((nblk_pad, Br, Bc), dtype)
+    slot_of_entry = slot_of_uniq[inv]
+    blocks[slot_of_entry, coo.row % Br, coo.col % Bc] = coo.data
+
+    return FlatBsr(
+        brows=jnp.asarray(brows),
+        bcols=jnp.asarray(bcols),
+        blocks=jnp.asarray(
+            blocks.reshape(nsteps, group, Br, Bc)
+            .transpose(0, 2, 1, 3).reshape(nsteps, Br, group * Bc)),
+        nrows=Kp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_spmm_pallas_flat(mat: FlatBsr, V: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Flat block-CSR SpMM, Pallas: ``A @ V`` streaming ONLY real blocks.
+
+    Grid step i multiplies the G blocks of one group against their gathered
+    V column-blocks and accumulates into the output row-block ``brows[i]``,
+    which stays resident in VMEM across the (consecutive) steps of that
+    block-row and is flushed once.  vs the ELL ``dot_general`` path
+    (:func:`bcsr_spmm`) this removes both the ELL row padding (stored =
+    real blocks only) and the [Kbr, maxblk, Bc, D] gathered-V transient.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = mat.G
+    Br, Bc = mat.Br, mat.Bc
+    nsteps = mat.nsteps
+    D = V.shape[1]
+    acc_dtype = V.dtype
+    blk_dtype = mat.blocks.dtype
+    Vc = V.astype(blk_dtype)
+
+    def kern(br_ref, bc_ref, blk_ref, *vs_out):
+        vs, out_ref = vs_out[:-1], vs_out[-1]
+        i = pl.program_id(0)
+        prev = br_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, br_ref[i] != prev)
+        acc = jnp.dot(blk_ref[0, :, 0:Bc], vs[0][...],
+                      preferred_element_type=acc_dtype)
+        for g in range(1, G):
+            acc += jnp.dot(blk_ref[0, :, g * Bc:(g + 1) * Bc], vs[g][...],
+                           preferred_element_type=acc_dtype)
+
+        @pl.when(first)
+        def _():
+            out_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[...] += acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, Br, G * Bc), lambda i, br, bc: (i, 0, 0)),
+            *[pl.BlockSpec((Bc, D),
+                           lambda i, br, bc, g=g: (bc[i * G + g], 0))
+              for g in range(G)],
+        ],
+        out_specs=pl.BlockSpec((Br, D), lambda i, br, bc: (br[i], 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mat.nrows, D), acc_dtype),
+        interpret=interpret,
+    )(mat.brows, mat.bcols, mat.blocks, *([Vc] * G))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_spmm_pallas_vres(mat: FlatBsr, V: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Flat block-CSR SpMM with V **resident in VMEM** — the fast path when
+    ``nrows * D * itemsize`` fits on-chip (~10 MB at K=100k, D=48, bf16).
+
+    The gather variant (:func:`bsr_spmm_pallas_flat`) pays ~1 us/step of
+    DMA-issue overhead for its G dynamic V fetches; here V is one
+    un-blocked VMEM operand fetched once, and the per-group V column-blocks
+    are dynamic VMEM slices (block-aligned, so Mosaic lowers them to cheap
+    vector loads).  Per grid step only the [Br, G*Bc] value blocks stream
+    from HBM — the true lower bound of the format.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = mat.G
+    Br, Bc = mat.Br, mat.Bc
+    nsteps = mat.nsteps
+    D = V.shape[1]
+    acc_dtype = V.dtype
+    blk_dtype = mat.blocks.dtype
+    Vc = V.astype(blk_dtype)
+
+    def kern(br_ref, bc_ref, blk_ref, v_ref, out_ref, vstack_ref):
+        i = pl.program_id(0)
+        prev = br_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, br_ref[i] != prev)
+        # Stack the group's V column-blocks contiguously (cheap VPU moves),
+        # then ONE wide MXU dot per step — G chained small dots serialize on
+        # MXU issue latency (~150 ns each, measured: that, not bandwidth,
+        # capped the gather variant at ~1.4 us/step).
+        for g in range(G):
+            vstack_ref[g * Bc:(g + 1) * Bc, :] = (
+                v_ref[pl.ds(bc_ref[i * G + g] * Bc, Bc), :])
+        acc = jnp.dot(blk_ref[0], vstack_ref[...],
+                      preferred_element_type=acc_dtype)
+
+        @pl.when(first)
+        def _():
+            out_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[...] += acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, Br, G * Bc), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # whole V on-chip
+        ],
+        out_specs=pl.BlockSpec((Br, D), lambda i, br, bc: (br[i], 0)),
+        scratch_shapes=[pltpu.VMEM((G * Bc, D), blk_dtype)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mat.nrows, D), acc_dtype),
+        interpret=interpret,
+    )(mat.brows, mat.bcols, mat.blocks, Vc)
+
+
 def bcsr_pair_from_state(S_csr, Q_csr, block: int = 128
                          ) -> Tuple[BlockEll, BlockEll]:
     """(S tilde, S tilde^T) as BlockEll matrices for the MMW Lanczos matvec."""
@@ -522,8 +744,46 @@ def bcsr_spmm_transpose(mat_bcols: jax.Array, blocks: jax.Array,
 
 def spatial_order(sta_locs: np.ndarray, cell_edge: float) -> np.ndarray:
     """Permutation sorting users by grid cell (row-major), making the
-    interference graph banded for block-sparse storage."""
+    interference graph banded for block-sparse storage.  Superseded by
+    :func:`hilbert_order` (raster adjacency is 1-D only: neighbors in the
+    next grid row are a full row of users away in index space, so each
+    row-block touches ~2x the column blocks the 2-D-local Hilbert order
+    needs — measured fill 3.08% vs 5.4% at K=100k and 1M)."""
     cx = np.floor(sta_locs[:, 0] / cell_edge).astype(np.int64)
     cy = np.floor(sta_locs[:, 1] / cell_edge).astype(np.int64)
     ncx = int(cx.max(initial=0)) + 1
     return np.argsort(cy * ncx + cx, kind="stable")
+
+
+def hilbert_order(sta_locs: np.ndarray, order: int = 16) -> np.ndarray:
+    """Permutation sorting users along a Hilbert space-filling curve.
+
+    Spatially close users get close indices in BOTH coordinates (unlike the
+    raster order, which is only local along x), so an interference
+    neighborhood — a disc of radius
+    :func:`sig_sdp_mmw_tpu.env.large.interference_cutoff_m` — maps to a
+    short index interval.  Effect on the block-ELL storage
+    (:class:`BlockEll`): 1.75x higher block fill (3.08% -> 5.4% measured at
+    K=100k and K=1M) = 1.75x fewer streamed bytes per SpMM, and a smaller
+    slot count (maxblk 10 -> 8).  A pure relabeling — solution-invariant.
+
+    Vectorized d-index computation (the classic xy2d bit-interleave walk,
+    one pass over ``order`` bit planes for all K points at once).
+    """
+    n = 1 << order
+    xy = np.asarray(sta_locs, np.float64)
+    ext = float((xy.max(axis=0) - xy.min(axis=0)).max())
+    q = ((xy - xy.min(axis=0)) / max(ext, 1e-9) * (n - 1)).astype(np.int64)
+    x, y = q[:, 0].copy(), q[:, 1].copy()
+    d = np.zeros(x.shape[0], np.int64)
+    s = n // 2
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = ry == 0
+        xr = np.where(flip & (rx == 1), n - 1 - x, x)
+        yr = np.where(flip & (rx == 1), n - 1 - y, y)
+        x, y = np.where(flip, yr, xr), np.where(flip, xr, yr)
+        s //= 2
+    return np.argsort(d, kind="stable")
