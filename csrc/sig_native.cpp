@@ -299,6 +299,62 @@ int sig_native_num_threads() {
 #endif
 }
 
-int sig_native_abi_version() { return 1; }
+// Greedy randomized rounding — the host-native large-K scan
+// (reference sim_src/alg/sdp_solver.py:27-107).  The scan is sequential
+// pointer-chasing over the interference graph, which is CPU home turf:
+// the TPU formulations (fori scan / parallel wavefront) are latency- or
+// gather-bound and cost minutes at K~1M, while this loop is sub-second.
+//
+// Inputs:
+//   St_T CSR [K x K]: row k lists k's S-row neighbors j with gains S[k, j]
+//     (association pairs and diagonal removed — the exact-trajectory
+//     argument of models/rounding_ell.py applies);
+//   Q CSR [K x K]: association neighbor lists;
+//   user_order [K]: users by decreasing ||gX row|| (sdp_solver.py:51);
+//   slot_order [K * Z]: per user, slots in decreasing inner-product
+//     preference (sdp_solver.py:56-57) — first feasible slot wins, which
+//     equals the argmin-preference-rank-over-feasible rule.
+// Per-slot checks (sdp_solver.py:79-92): own accumulated load, assigned
+// same-slot S-neighbor budgets, association exclusivity.  On accept, k's
+// S row is added into the slot's load.  Returns the remainder count;
+// slot_of[k] = -1 for unassigned users (caller applies the random
+// fallback, sdp_solver.py:104-105).
+int64_t sig_greedy_round(int64_t K, int64_t Z,
+                         const int64_t* S_indptr, const int64_t* S_indices,
+                         const double* S_data, const int64_t* Q_indptr,
+                         const int64_t* Q_indices, const double* h_max,
+                         const int64_t* user_order, const int32_t* slot_order,
+                         int32_t* slot_of) {
+  if (K <= 0 || Z <= 0) return -1;
+  std::vector<double> load(static_cast<size_t>(Z) * K, 0.0);
+  for (int64_t k = 0; k < K; ++k) slot_of[k] = -1;
+  int64_t rem = 0;
+  for (int64_t u = 0; u < K; ++u) {
+    const int64_t k = user_order[u];
+    bool placed = false;
+    for (int64_t t = 0; t < Z && !placed; ++t) {
+      const int32_t z = slot_order[k * Z + t];
+      if (z < 0 || z >= Z) continue;
+      double* lz = load.data() + static_cast<size_t>(z) * K;
+      if (lz[k] > h_max[k]) continue;  // self budget (sdp_solver.py:83)
+      bool bad = false;
+      for (int64_t e = Q_indptr[k]; e < Q_indptr[k + 1] && !bad; ++e)
+        if (slot_of[Q_indices[e]] == z) bad = true;  // assoc (87-92)
+      for (int64_t e = S_indptr[k]; e < S_indptr[k + 1] && !bad; ++e) {
+        const int64_t j = S_indices[e];
+        if (slot_of[j] == z && lz[j] + S_data[e] > h_max[j]) bad = true;
+      }
+      if (bad) continue;
+      slot_of[k] = z;
+      for (int64_t e = S_indptr[k]; e < S_indptr[k + 1]; ++e)
+        lz[S_indices[e]] += S_data[e];
+      placed = true;
+    }
+    if (!placed) ++rem;
+  }
+  return rem;
+}
+
+int sig_native_abi_version() { return 2; }
 
 }  // extern "C"

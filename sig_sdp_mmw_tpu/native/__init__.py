@@ -13,6 +13,7 @@ layer is an accelerator, never a hard dependency.
 
 from sig_sdp_mmw_tpu.native.builder import (  # noqa: F401
     build_state_csr_native,
+    greedy_round_native,
     native_available,
     native_num_threads,
 )

@@ -68,6 +68,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sig_state_free.argtypes = [vp]
         lib.sig_native_num_threads.restype = ctypes.c_int
         lib.sig_native_num_threads.argtypes = []
+        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.sig_greedy_round.restype = i64
+        lib.sig_greedy_round.argtypes = [i64, i64, pi64, pi64, pf64, pi64,
+                                         pi64, pf64, pi64, pi32, pi32]
         _lib = lib
         return _lib
 
@@ -127,3 +131,34 @@ def build_state_csr_native(sta_locs: np.ndarray, params, cutoff: float
     Q = scipy.sparse.csr_matrix((np.ones(nnz_q), Q_indices, Q_indptr),
                                 shape=(K, K))
     return S, Q, h_max, asso
+
+
+def greedy_round_native(StT_csr, Q_csr, h_max: np.ndarray,
+                        user_order: np.ndarray, slot_order: np.ndarray,
+                        Z: int) -> Tuple[np.ndarray, int]:
+    """One greedy rounding scan via the C++ loop (sig_greedy_round).
+
+    ``StT_csr``: CSR whose row k lists k's S-row neighbors with gains
+    S[k, j] (= ``build_st_csr(S, Q).T``); ``slot_order`` [K, Z] int32 slots
+    in decreasing preference.  Returns (slot_of int32 with -1 unassigned,
+    remainder).  Raises RuntimeError when the native library is missing.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native rounding unavailable (no toolchain?)")
+    K = StT_csr.shape[0]
+    slot_of = np.empty(K, np.int32)
+    rem = lib.sig_greedy_round(
+        K, int(Z),
+        np.ascontiguousarray(StT_csr.indptr, np.int64),
+        np.ascontiguousarray(StT_csr.indices, np.int64),
+        np.ascontiguousarray(StT_csr.data, np.float64),
+        np.ascontiguousarray(Q_csr.indptr, np.int64),
+        np.ascontiguousarray(Q_csr.indices, np.int64),
+        np.ascontiguousarray(h_max, np.float64),
+        np.ascontiguousarray(user_order, np.int64),
+        np.ascontiguousarray(slot_order, np.int32),
+        slot_of)
+    if rem < 0:
+        raise RuntimeError("sig_greedy_round: invalid arguments")
+    return slot_of, int(rem)

@@ -47,7 +47,8 @@ def tree_bytes(tree):
 
 def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
          do_rounding=False, out_path=None, lanczos_m=8, row_chunk=2048,
-         skip_warm=False, nattempt=1, segment=0, z_extra=4):
+         skip_warm=False, nattempt=1, segment=0, z_extra=4,
+         store_transpose=False, gram_mode="edge"):
     import jax
     import jax.numpy as jnp
 
@@ -110,7 +111,7 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
         t0 = time.time()
         ops = bcsr_operands_from_state(S, Q, block=block,
                                        dtype=jnp.bfloat16,
-                                       store_transpose=False,
+                                       store_transpose=store_transpose,
                                        weights_dtype=jnp.bfloat16)
         rec["phases_s"]["bcsr_build"] = round(time.time() - t0, 1)
         rec["budget_gb"]["bcsr_operands"] = _gb(tree_bytes(ops))
@@ -158,7 +159,8 @@ def main(cell=580, rho=75e-4, seed=0, nit=3, block=128, d_pad=None,
         print(f"transfer: [{rec['phases_s']['device_transfer']}s]")
 
         kw = dict(nit=nit, eta=0.05, D_pad=D_pad, rank_pad=D_pad,
-                  lanczos_m=lanczos_m, spmm_row_chunk=row_chunk)
+                  lanczos_m=lanczos_m, spmm_row_chunk=row_chunk,
+                  gram_mode=gram_mode)
         key = jax.random.PRNGKey(0)
         if segment and segment < nit:
             # Segmented execution: the tunneled TPU worker kills any single
@@ -299,9 +301,12 @@ if __name__ == "__main__":
     ap.add_argument("--segment", type=int, default=0)
     ap.add_argument("--z-extra", type=int, default=4)
     ap.add_argument("--nattempt", type=int, default=1)
+    ap.add_argument("--store-transpose", action="store_true")
+    ap.add_argument("--gram", type=str, default="edge")
     ap.add_argument("--out", type=str, default=None)
     a = ap.parse_args()
     main(a.cell, a.rho, nit=a.nit, block=a.block, d_pad=a.d_pad,
          do_rounding=a.rounding, out_path=a.out, lanczos_m=a.lanczos_m,
          row_chunk=a.row_chunk, skip_warm=a.skip_warm, nattempt=a.nattempt,
-         segment=a.segment, z_extra=a.z_extra)
+         segment=a.segment, z_extra=a.z_extra,
+         store_transpose=a.store_transpose, gram_mode=a.gram)
