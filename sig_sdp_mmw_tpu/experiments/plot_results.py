@@ -259,10 +259,74 @@ def plot_graph(data, out_dir):
     fig.savefig(os.path.join(out_dir, "graph_stats.pdf"), bbox_inches="tight")
 
 
+def plot_matrix_sparsity(out_dir, cells=(5, 10, 15), rho=75e-4, seed=3):
+    """Constraint-pattern spy plots — the analogue of the reference's
+    ``journal_version/plot_matrix_sparsity.py`` (D = S + S^T + Q + Q^T after
+    a reordering), extended with the orderings the block-sparse backend
+    actually uses: rows = orderings (RCM as in the reference figure, raster
+    grid order, Hilbert curve order), columns = cell sizes.  Each panel is
+    annotated with the (8, 128)-block fill — the storage/traffic multiplier
+    of :mod:`sig_sdp_mmw_tpu.ops.bcsr` (Hilbert measures 1.75x raster)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import math as _math
+
+    import matplotlib.pyplot as plt
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from sig_sdp_mmw_tpu.env.large import generate_large_state_csr
+    from sig_sdp_mmw_tpu.ops.bcsr import hilbert_order, spatial_order
+
+    def block_fill(M, Br=8, Bc=128):
+        coo = M.tocoo()
+        Kbc = -(-M.shape[0] // Bc)
+        nblk = np.unique((coo.row // Br) * Kbc + coo.col // Bc).size
+        return 100.0 * M.nnz / max(nblk * Br * Bc, 1)
+
+    orders = ("rcm", "raster", "hilbert")
+    fig, axes = plt.subplots(len(orders), len(cells),
+                             figsize=(3.2 * len(cells), 3.2 * len(orders)),
+                             dpi=120)
+    for ci, cell in enumerate(cells):
+        S, Q, _, locs = generate_large_state_csr(
+            cell, rho, seed=seed, return_locs=True, order="raster")
+        D = (S + S.T + Q + Q.T).tocsr()
+        D.setdiag(0)
+        D.eliminate_zeros()
+        for oi, oname in enumerate(orders):
+            if oname == "rcm":
+                perm = reverse_cuthill_mckee(D, symmetric_mode=True)
+            elif oname == "hilbert":
+                perm = hilbert_order(locs)
+            else:
+                perm = np.arange(D.shape[0])
+            Dp = D[perm][:, perm]
+            r, c = Dp.nonzero()
+            ax = axes[oi, ci]
+            ax.scatter(r, c, s=max(0.02, 2.0 / cell), rasterized=True)
+            ax.set_aspect("equal", "box")
+            ax.invert_yaxis()
+            ax.set_xticks([0, D.shape[0]])
+            ax.set_yticks([0, D.shape[0]])
+            ax.set_xticklabels([1, "$K$"])
+            ax.set_yticklabels([1, "$K$"])
+            ax.text(0.03, 0.03,
+                    f"{oname}, $l$={cell * 20} m\n"
+                    f"fill {block_fill(Dp):.1f}%",
+                    transform=ax.transAxes, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "matrix_sparsity.pdf"),
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("data_dir")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--sparsity", action="store_true",
+                    help="also render the matrix-sparsity spy figure "
+                         "(generates its own states; no data dir needed)")
     args = ap.parse_args(argv)
     out_dir = args.out or args.data_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -275,6 +339,8 @@ def main(argv=None):
     plot_time(data, out_dir)
     plot_online(data, out_dir)
     plot_graph(data, out_dir)
+    if args.sparsity:
+        plot_matrix_sparsity(out_dir)
     print("figures written to", out_dir)
     return out_dir
 

@@ -25,6 +25,9 @@ def main(argv=None):
     from sig_sdp_mmw_tpu.env import WirelessEnv
     from sig_sdp_mmw_tpu.models import ADMMSDPSolver, BinarySearchRelaxation, MMW
 
+    z_cache = {}        # (cell, seed) -> Z_fin: the oracle's answer is
+    #                     eta-independent, so hoist it out of the eta loop
+    #                     (the reference re-searches per eta; same data).
     for cell in args.cells:
         for eta in args.etas:
             nit = math.ceil(1.0 / eta / eta)
@@ -33,9 +36,11 @@ def main(argv=None):
                                 seed=seed)
                 st = e.generate_S_Q_hmax()
 
-                bs = BinarySearchRelaxation()
-                bs.feasibility_check_alg = ADMMSDPSolver(nit=1000)
-                _, Z_fin, _ = bs.run(st)
+                if (cell, seed) not in z_cache:
+                    bs = BinarySearchRelaxation()
+                    bs.feasibility_check_alg = ADMMSDPSolver(nit=1000)
+                    _, z_cache[(cell, seed)], _ = bs.run(st)
+                Z_fin = z_cache[(cell, seed)]
 
                 alg = MMW(nit=nit, eta=eta, log_gap=True, seed=seed)
                 alg.run_with_state(0, Z_fin, st)
