@@ -43,16 +43,47 @@ def ap_grid(p: EnvParams) -> np.ndarray:
     return np.stack([xx.ravel(), yy.ravel()], axis=1)
 
 
+def tail_margin_h(stas: np.ndarray, p: EnvParams, asso: np.ndarray,
+                  Z_est: int, cutoff: Optional[float] = None) -> np.ndarray:
+    """Expected SUB-THRESHOLD interference per user, for folding into h_max.
+
+    The state thresholds rx ratios below ``min_s_n_ratio`` to zero
+    (``env.py:151``), so the solver's budget ignores the aggregate of many
+    tiny far-user contributions; at 100k+ links that aggregate pushes
+    ~5-10% of users past the 1e-5 BLER design target (BLER_TAIL_SWEEP.json)
+    even on solver-feasible assignments.  This returns the mean-field
+    expectation of that omitted load — (sum of linear user powers / Z_est)
+    x the per-AP geometric tail factor already used by the sparse
+    evaluator (:func:`_tail_factors_per_ap`) — which the caller SUBTRACTS
+    from ``h_max`` at generation time so the solved schedule carries the
+    right safety margin (``Z_est``: the expected slot count, e.g. the
+    degree lower bound + a few).
+    """
+    aps = ap_grid(p)
+    R = cutoff if cutoff is not None else interference_cutoff_m(p)
+    T = _linear_channel_factors(stas, aps, p)
+    c_tail = _tail_factors_per_ap(aps, p, R)
+    return (T.sum() / max(Z_est, 1)) * c_tail[asso]
+
+
 def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
                              seed: int = 0, params: Optional[EnvParams] = None,
                              return_locs: bool = False, backend: str = "auto",
-                             order: str = "hilbert"):
+                             order: str = "hilbert",
+                             tail_margin_z: Optional[int] = None):
     """(S_csr, Q_csr, h_max[, sta_locs]) for a cell_size^2-AP grid at any
     scale.  Users are relabeled in spatial order so the interference graph
     is block-sparse friendly (:mod:`sig_sdp_mmw_tpu.ops.bcsr`); a pure
     relabeling, solution-invariant.  ``order``: ``"hilbert"`` (default —
     space-filling-curve locality, 1.75x the block fill of the raster order)
     or ``"raster"`` (legacy row-major grid-cell sort).
+
+    ``tail_margin_z``: when set, subtract the expected sub-threshold
+    interference at that slot count from every user's budget
+    (:func:`tail_margin_h`) — the BLER-tail mitigation: the solver then
+    schedules against the honest total-interference budget instead of the
+    thresholded one.  Budgets are floored at 10% of their raw value so a
+    pessimistic margin can tighten but never erase a user's budget.
 
     ``backend``: ``"native"`` = the multithreaded C++ builder
     (csrc/sig_native.cpp), ``"python"`` = this module's scipy path,
@@ -89,6 +120,10 @@ def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
         from sig_sdp_mmw_tpu import native
         if native.native_available():
             S, Q, h_max, _asso = native.build_state_csr_native(stas, p, cutoff)
+            if tail_margin_z:
+                h_max = np.maximum(
+                    h_max - tail_margin_h(stas, p, _asso, tail_margin_z,
+                                          cutoff), 0.1 * h_max)
             if return_locs:
                 return S, Q, h_max, stas
             return S, Q, h_max
@@ -159,6 +194,10 @@ def generate_large_state_csr(cell_size: int, sta_density_per_1m2: float = 75e-4,
     Q = scipy.sparse.csr_matrix((np.ones(qi.size), (qi, qj)), shape=(K, K))
 
     h_max = np.asarray(S.diagonal()).ravel() / p.min_sinr - 1.0
+    if tail_margin_z:
+        h_max = np.maximum(
+            h_max - tail_margin_h(stas, p, asso, tail_margin_z, cutoff),
+            0.1 * h_max)
     if return_locs:
         return S, Q, h_max, stas
     return S, Q, h_max
@@ -291,12 +330,14 @@ class LargeEnv:
 
     def __init__(self, cell_size: int, sta_density_per_1m2: float = 75e-4,
                  seed: int = 0, params: Optional[EnvParams] = None,
-                 backend: str = "auto", order: str = "hilbert"):
+                 backend: str = "auto", order: str = "hilbert",
+                 tail_margin_z: Optional[int] = None):
         self.params = params or EnvParams(
             cell_size=cell_size, sta_density_per_1m2=sta_density_per_1m2)
         self.seed = seed
         self.backend = backend
         self.order = order
+        self.tail_margin_z = tail_margin_z
         self._state = None
         self._stas = None
 
@@ -310,7 +351,8 @@ class LargeEnv:
             S, Q, h, stas = generate_large_state_csr(
                 self.params.cell_size, self.params.sta_density_per_1m2,
                 seed=self.seed, params=self.params, return_locs=True,
-                backend=self.backend, order=self.order)
+                backend=self.backend, order=self.order,
+                tail_margin_z=self.tail_margin_z)
             self._state = (S, Q, h)
             self._stas = stas
         return self._state
