@@ -214,21 +214,34 @@ def mmw_solve_ell(ell: EllState, Z, *, nit: int, eta: float,
         return d, f, h
 
     if use_bcsr:
-        def s_matvec(V):
-            return bcsr_spmm(bcsr.s_blocks, padV(V),
-                             row_chunk=spmm_row_chunk)[:Kp]
+        if getattr(bcsr, "s_flat", None) is not None:
+            # Flat block-CSR Pallas backend: streams only REAL blocks (no
+            # ELL row padding), out row-block resident in VMEM — measured
+            # 1.26x the fused-XLA ELL dot_general per matvec at K=100k
+            # (FLAT_SPMM_BENCH.json).
+            from sig_sdp_mmw_tpu.ops.bcsr import bsr_spmm_pallas_flat
 
-        if bcsr.st_blocks is not None:
+            def s_matvec(V):
+                return bsr_spmm_pallas_flat(bcsr.s_flat, padV(V))[:Kp]
+
             def st_matvec(V):
-                return bcsr_spmm(bcsr.st_blocks, padV(V),
-                                 row_chunk=spmm_row_chunk)[:Kp]
+                return bsr_spmm_pallas_flat(bcsr.st_flat, padV(V))[:Kp]
         else:
-            # Memory-lean mode: S̃ᵀ is not stored; scatter through S̃.
-            def st_matvec(V):
-                return bcsr_spmm_transpose(bcsr.s_blocks.bcols,
-                                           bcsr.s_blocks.blocks,
-                                           padV(V),
-                                           row_chunk=spmm_row_chunk)[:Kp]
+            def s_matvec(V):
+                return bcsr_spmm(bcsr.s_blocks, padV(V),
+                                 row_chunk=spmm_row_chunk)[:Kp]
+
+            if bcsr.st_blocks is not None:
+                def st_matvec(V):
+                    return bcsr_spmm(bcsr.st_blocks, padV(V),
+                                     row_chunk=spmm_row_chunk)[:Kp]
+            else:
+                # Memory-lean mode: S̃ᵀ is not stored; scatter through S̃.
+                def st_matvec(V):
+                    return bcsr_spmm_transpose(bcsr.s_blocks.bcols,
+                                               bcsr.s_blocks.blocks,
+                                               padV(V),
+                                               row_chunk=spmm_row_chunk)[:Kp]
     else:
         def s_matvec(V):
             return ell_spmm(ell.s_cols, ell.s_vals, V)

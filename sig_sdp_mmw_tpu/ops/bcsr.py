@@ -328,7 +328,7 @@ def bsr_flat_from_csr(M, block=128, group: int = 4,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bsr_spmm_pallas_flat(mat: FlatBsr, V: jax.Array,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = None) -> jax.Array:
     """Flat block-CSR SpMM, Pallas: ``A @ V`` streaming ONLY real blocks.
 
     Grid step i multiplies the G blocks of one group against their gathered
@@ -341,6 +341,8 @@ def bsr_spmm_pallas_flat(mat: FlatBsr, V: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:                 # CPU supports interpret mode only
+        interpret = jax.default_backend() == "cpu"
     G = mat.G
     Br, Bc = mat.Br, mat.Bc
     nsteps = mat.nsteps
@@ -495,6 +497,11 @@ class BcsrOperands:
     q_bcols: jax.Array   # [Kbr, maxblkQ] int32
     q_pos: jax.Array     # [2E] int32 flat positions into the q block array
     q_eidx: jax.Array    # [2E] int32 indices into the ut edge value vector
+    # Optional flat block-CSR twins of (S̃, S̃^T) for the Pallas SpMM
+    # (:func:`bsr_spmm_pallas_flat`) — streams only real blocks (no ELL row
+    # padding); built by ``flat_group`` in :func:`bcsr_operands_from_state`.
+    s_flat: Optional[FlatBsr] = None
+    st_flat: Optional[FlatBsr] = None
 
     @property
     def nnz(self) -> int:
@@ -505,7 +512,8 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
                              block=(8, 128), dtype=np.float32,
                              store_transpose: bool = False,
                              weights_dtype=np.float32,
-                             pad_rows_to: Optional[int] = None
+                             pad_rows_to: Optional[int] = None,
+                             flat_group: Optional[int] = None
                              ) -> BcsrOperands:
     """``block``: (Brow, Bcol) or int.  (8, 128) is one native TPU tile —
     zero layout padding; larger blocks lower the ELL fill.  ``dtype``:
@@ -617,12 +625,21 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
     q_pos = (((bi * Br + ii % Br) * maxblkQ + slot_of_edge) * Bc
              + jj % Bc).astype(np.int32)
 
+    s_flat = st_flat = None
+    if flat_group:
+        s_flat = bsr_flat_from_csr(St, block=(Br, Bc), group=flat_group,
+                                   pad_rows_to=nr, dtype=np.dtype(dtype))
+        st_flat = bsr_flat_from_csr(St.transpose().tocsr(), block=(Br, Bc),
+                                    group=flat_group, pad_rows_to=nr,
+                                    dtype=np.dtype(dtype))
+
     return BcsrOperands(
         s_blocks=s_blocks, st_blocks=st_blocks,
         g_src=jnp.asarray(g_src), g_dst=jnp.asarray(g_dst),
         w_edge=_host_cast(w_edge, weights_dtype), s_pos=jnp.asarray(s_pos),
         q_bcols=jnp.asarray(q_bcols), q_pos=jnp.asarray(q_pos),
-        q_eidx=jnp.asarray(ee.astype(np.int32)))
+        q_eidx=jnp.asarray(ee.astype(np.int32)),
+        s_flat=s_flat, st_flat=st_flat)
 
 
 def bcsr_block_gram(bcols: jax.Array, Xb: jax.Array,

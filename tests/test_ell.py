@@ -332,3 +332,28 @@ def test_sparse_mmw_rounding_feasible(dense_state, ell_state, fix):
     assert rem == 0
     ok, ni, na = verify_assignment(dense_state, z_vec)
     assert ok, (ni, na)
+
+
+def test_flat_pallas_backend_matches_ell_backend():
+    """mmw_solve_ell with the flat block-CSR Pallas SpMM backend
+    (flat_group operands) matches the ELL dot_general backend."""
+    import numpy as np
+
+    from sig_sdp_mmw_tpu.core.ell import ell_from_scipy
+    from sig_sdp_mmw_tpu.env.large import generate_large_state_csr
+    from sig_sdp_mmw_tpu.models.mmw_ell import mmw_solve_ell
+    from sig_sdp_mmw_tpu.ops.bcsr import bcsr_operands_from_state
+
+    S, Q, h = generate_large_state_csr(10, 75e-4, seed=2)
+    ell = ell_from_scipy(S, Q, h)
+    lb = int(np.diff(Q.indptr).max()) + 1
+    Z = float(lb + 3)
+    kw = dict(nit=15, eta=0.05, D_pad=32, rank_pad=32,
+              key=jax.random.PRNGKey(0), lanczos_m=8)
+    o0 = mmw_solve_ell(ell, Z, bcsr=bcsr_operands_from_state(
+        S, Q, block=128, store_transpose=True), **kw)
+    o1 = mmw_solve_ell(ell, Z, bcsr=bcsr_operands_from_state(
+        S, Q, block=128, store_transpose=True, flat_group=4), **kw)
+    assert abs(float(o0.ub_final) - float(o1.ub_final)) < 5e-4
+    assert float(np.abs(np.asarray(o0.X_half)
+                        - np.asarray(o1.X_half)).max()) < 5e-3

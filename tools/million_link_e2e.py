@@ -150,6 +150,7 @@ def main(cell=580, rho=75e-4, seed=0, block=128, d_pad=48,
                 # Scalar pull barrier each segment keeps the tunneled
                 # worker's device-busy periods short.
                 float(c["eaD"][0])
+                print(f"  {tag} seg..{i1} [{time.time()-t0:.0f}s]")
         out = fin_fn(slim, Zt, key, ops, c)
         u = float(out.ub_final)
         dt = time.time() - t0

@@ -148,9 +148,15 @@ def main(cell=100, rho=75e-4, seed=0, nit=30, eta=0.05, block=128,
           f"[{rec['phases_s']['solve_single']}s]")
 
     # End-to-end: round the SHARDED solve's factor, verify on host CSR.
+    # The greedy scan runs in the native C++ loop on the gathered factor —
+    # sub-second at any K (the r4 sharded run spent 1522 s scanning on the
+    # virtual mesh; the scan is sequential host work, not mesh work).
+    from sig_sdp_mmw_tpu.models.rounding_ell import rounding_native_csr
+
     t0 = time.time()
-    z_vec, _, rem = rounding_ell(int(Z), out_sh.X_half, ell,
-                                 jax.random.PRNGKey(7), nattempt=3)
+    z_vec, _, rem = rounding_native_csr(int(Z), np.asarray(out_sh.X_half),
+                                        S, Q, h, jax.random.PRNGKey(7),
+                                        nattempt=3)
     rec["rounding_rem"] = int(rem)
     ok, ni, na = verify_assignment_csr(S, Q, h, z_vec)
     rec["verified"] = dict(ok=bool(ok), interf=int(ni), asso=int(na))
