@@ -99,11 +99,15 @@ def _bcsr_arrays_np(M, block=128, pad_rows_to: int = None,
     slot_of_uniq[order] = slots
     bcols[ubr[order], slots] = ubc[order]
 
-    blocks = np.zeros((Kbr, Br, maxblk, Bc), dtype)
     slot_of_entry = slot_of_uniq[inv]
     rloc = coo.row % Br
     cloc = coo.col % Bc
-    blocks[br, rloc, slot_of_entry, cloc] = coo.data
+    # One flat scatter (a 4-array fancy assignment over 20M+ entries costs
+    # ~4x more in index arithmetic at million-link scale).
+    pos = ((br * Br + rloc) * maxblk + slot_of_entry) * Bc + cloc
+    blocks = np.zeros(Kbr * Br * maxblk * Bc, dtype)
+    blocks[pos] = coo.data
+    blocks = blocks.reshape(Kbr, Br, maxblk, Bc)
     if return_entry_maps:
         return bcols, blocks, Kp, (br, slot_of_entry, rloc, cloc)
     return bcols, blocks, Kp
@@ -583,8 +587,15 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
 
     def _host_cast(arr, dt):
         # Cast on the HOST so the device never sees the f32 copy (a 4GB+
-        # transient at million-link scale); ml_dtypes gives numpy a native
-        # bfloat16 that transfers directly.
+        # transient at million-link scale).  numpy's ml_dtypes bfloat16
+        # astype is a SCALAR software loop (~12 s for the 3 GB block array
+        # at 1M); route big casts through the XLA CPU backend instead
+        # (vectorized, ~20x faster), which also keeps the result on the
+        # host until the caller device_puts it.
+        if arr.nbytes > 64 * 2**20:
+            cpu = jax.devices("cpu")[0]
+            x = jax.device_put(arr, cpu)     # jit follows the committed device
+            return jax.jit(lambda x: x.astype(np.dtype(dt)))(x)
         return jnp.asarray(arr.astype(np.dtype(dt)))
 
     s_blocks = BlockEll(bcols=jnp.asarray(s_bcols),
