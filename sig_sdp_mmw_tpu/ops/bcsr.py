@@ -593,9 +593,12 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
         # (vectorized, ~20x faster), which also keeps the result on the
         # host until the caller device_puts it.
         if arr.nbytes > 64 * 2**20:
-            cpu = jax.devices("cpu")[0]
-            x = jax.device_put(arr, cpu)     # jit follows the committed device
-            return jax.jit(lambda x: x.astype(np.dtype(dt)))(x)
+            try:
+                cpu = jax.devices("cpu")[0]
+                x = jax.device_put(arr, cpu)  # jit follows the committed device
+                return jax.jit(lambda x: x.astype(np.dtype(dt)))(x)
+            except Exception:        # no host-CPU backend: numpy fallback
+                pass
         return jnp.asarray(arr.astype(np.dtype(dt)))
 
     s_blocks = BlockEll(bcols=jnp.asarray(s_bcols),
