@@ -107,3 +107,15 @@ def test_verifiers_agree_and_catch_injected_violations_at_10k():
     rng = np.random.default_rng(0)
     for Z in (4, 16, 64):
         both(rng.integers(0, Z, size=K))
+
+
+def test_tail_margin_tightens_budgets():
+    """tail_margin_z folds the expected sub-threshold interference into
+    h_max: budgets shrink, never below the 10% floor, and shrink MORE at
+    smaller Z_est (margin ~ 1/Z_est)."""
+    base = generate_large_state_csr(12, 75e-4, seed=5)[2]
+    h8 = generate_large_state_csr(12, 75e-4, seed=5, tail_margin_z=8)[2]
+    h4 = generate_large_state_csr(12, 75e-4, seed=5, tail_margin_z=4)[2]
+    assert (h8 <= base + 1e-12).all() and (h8 >= 0.1 * base - 1e-12).all()
+    assert (h4 <= h8 + 1e-12).all()
+    assert (h8 < base - 1e-9).any()          # margin actually applied
