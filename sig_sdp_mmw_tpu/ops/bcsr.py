@@ -512,6 +512,12 @@ class BcsrOperands:
         return self.w_edge.shape[0]
 
 
+# Above this nnz the operand build routes through the C++ packer (bit-
+# identical — tests/test_native.py); below it the numpy path keeps CI
+# coverage of both implementations.
+_NATIVE_PACK_MIN_NNZ = 1 << 20
+
+
 def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
                              block=(8, 128), dtype=np.float32,
                              store_transpose: bool = False,
@@ -548,42 +554,75 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
         nr = pad_rows_to
     Kbr = nr // Br
     Kbc = nr // Bc
-    s_bcols, s_vals_np, _, (ebr, eslot, erloc, ecloc) = _bcsr_arrays_np(
-        St, (Br, Bc), pad_rows_to=nr, dtype=np.float32,
-        return_entry_maps=True)
+    # Large instances route through the C++ OpenMP packer (csrc
+    # sig_bcsr_pack): the value cast is fused into the scatter, so a bf16
+    # operand never materializes the f32 block array (3+ GB at 1M links) and
+    # the pack itself parallelizes over block-rows.  Bit-identical to the
+    # numpy path (tests/test_native.py); small instances keep the numpy path
+    # so CI exercises both.
+    s_native = None
+    if St.nnz > _NATIVE_PACK_MIN_NNZ:
+        try:
+            from sig_sdp_mmw_tpu.native.builder import bcsr_pack_native
+            s_native = bcsr_pack_native(St, (Br, Bc), pad_rows_to=nr,
+                                        dtype=dtype, return_entry_maps=True)
+        except Exception:
+            s_native = None
+    if s_native is not None:
+        s_bcols, s_vals_np, _, (ebr, eslot, erloc, ecloc, epos) = s_native
+    else:
+        s_bcols, s_vals_np, _, (ebr, eslot, erloc, ecloc) = _bcsr_arrays_np(
+            St, (Br, Bc), pad_rows_to=nr, dtype=np.float32,
+            return_entry_maps=True)
+        epos = None
     maxblk = s_bcols.shape[1]
     nnz = St.nnz
 
     # --- edge-level Gram maps (entry order = St COO order = CSR sorted) ---
-    # Position of entry e inside slot s's [Kbr, Br, Bc] Gram output:
-    src_pos = ((ebr * Br + erloc) * Bc + ecloc).astype(np.int64)
-    counts_s = np.bincount(eslot, minlength=maxblk)
-    max_e = max(int(counts_s.max(initial=0)), 1)
-    g_src = np.zeros((maxblk, max_e), np.int32)
-    g_dst = np.full((maxblk, max_e), nnz, np.int32)      # sink by default
-    order = np.argsort(eslot, kind="stable")
-    within = np.arange(nnz) - np.concatenate(
-        ([0], np.cumsum(counts_s)))[eslot[order]]
-    g_src[eslot[order], within] = src_pos[order]
-    g_dst[eslot[order], within] = np.arange(nnz)[order]
+    if s_native is not None:
+        # Counting-sort grouping in C++ — no 25M-entry argsort; s_pos comes
+        # straight from the packer's scatter positions.
+        from sig_sdp_mmw_tpu.native.builder import bcsr_gram_maps_native
+        g_src, g_dst = bcsr_gram_maps_native(ebr, eslot, erloc, ecloc,
+                                             maxblk, Br, Bc)
+        s_pos = epos
+    else:
+        # Position of entry e inside slot s's [Kbr, Br, Bc] Gram output:
+        src_pos = ((ebr * Br + erloc) * Bc + ecloc).astype(np.int64)
+        counts_s = np.bincount(eslot, minlength=maxblk)
+        max_e = max(int(counts_s.max(initial=0)), 1)
+        g_src = np.zeros((maxblk, max_e), np.int32)
+        g_dst = np.full((maxblk, max_e), nnz, np.int32)  # sink by default
+        order = np.argsort(eslot, kind="stable")
+        within = np.arange(nnz) - np.concatenate(
+            ([0], np.cumsum(counts_s)))[eslot[order]]
+        g_src[eslot[order], within] = src_pos[order]
+        g_dst[eslot[order], within] = np.arange(nnz)[order]
 
-    # Position of entry e in the full [Kbr, Br, maxblk, Bc] block array (for
-    # scattering averaged edge values back into an operator at the end):
-    s_pos = (((ebr * Br + erloc) * maxblk + eslot) * Bc
-             + ecloc).astype(np.int32)
+        # Position of entry e in the full [Kbr, Br, maxblk, Bc] block array
+        # (for scattering averaged edge values back into an operator):
+        s_pos = (((ebr * Br + erloc) * maxblk + eslot) * Bc
+                 + ecloc).astype(np.int32)
 
     # Symmetrization weights, aligned with St's CSR entry order.
-    P = St.copy()
-    P.data = np.ones_like(P.data)
-    B2 = P.multiply(P.transpose()).tocsr()
-    Wm = (P - 0.5 * B2).tocsr()
-    Wm.sort_indices()
-    # Host-side consistency check BEFORE any device transfer (device->host
-    # readback of raw transfers can hang on tunneled platforms).
-    if not (np.array_equal(Wm.indices, St.indices)
-            and np.array_equal(Wm.indptr, St.indptr)):
-        raise AssertionError("weight/value edge orders diverged")
-    w_edge = Wm.data.astype(np.float32)
+    if s_native is not None:
+        # Entrywise transpose-membership test in C++ — no scipy
+        # multiply/subtract passes; values identical (exactly 1.0 / 0.5)
+        # and CSR-entry-order by construction.
+        from sig_sdp_mmw_tpu.native.builder import bcsr_sym_weights_native
+        w_edge = bcsr_sym_weights_native(St)
+    else:
+        P = St.copy()
+        P.data = np.ones_like(P.data)
+        B2 = P.multiply(P.transpose()).tocsr()
+        Wm = (P - 0.5 * B2).tocsr()
+        Wm.sort_indices()
+        # Host-side consistency check BEFORE any device transfer (device ->
+        # host readback of raw transfers can hang on tunneled platforms).
+        if not (np.array_equal(Wm.indices, St.indices)
+                and np.array_equal(Wm.indptr, St.indptr)):
+            raise AssertionError("weight/value edge orders diverged")
+        w_edge = Wm.data.astype(np.float32)
 
     def _host_cast(arr, dt):
         # Cast on the HOST so the device never sees the f32 copy (a 4GB+
@@ -601,17 +640,41 @@ def bcsr_operands_from_state(S_csr, Q_csr, E_pad: int = None,
                 pass
         return jnp.asarray(arr.astype(np.dtype(dt)))
 
+    def _host_put(arr):
+        # Keep big native-packed blocks committed to the host CPU device,
+        # like _host_cast does, so the caller controls the device transfer.
+        if arr.nbytes > 64 * 2**20:
+            try:
+                return jax.device_put(arr, jax.devices("cpu")[0])
+            except Exception:
+                pass
+        return jnp.asarray(arr)
+
     s_blocks = BlockEll(bcols=jnp.asarray(s_bcols),
-                        blocks=_host_cast(s_vals_np, dtype), nrows=nr)
+                        blocks=(_host_put(s_vals_np) if s_native is not None
+                                else _host_cast(s_vals_np, dtype)), nrows=nr)
     st_blocks = None
     if store_transpose:
         StT = St.transpose().tocsr()
-        st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, (Br, Bc),
-                                                  pad_rows_to=nr,
-                                                  dtype=np.float32)
-        st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
-                             blocks=_host_cast(st_vals_np, dtype),
-                             nrows=nr)
+        st_native = None
+        if s_native is not None:
+            try:
+                from sig_sdp_mmw_tpu.native.builder import bcsr_pack_native
+                st_native = bcsr_pack_native(StT, (Br, Bc), pad_rows_to=nr,
+                                             dtype=dtype)
+            except Exception:
+                st_native = None
+        if st_native is not None:
+            st_bcols, st_vals_np, _ = st_native
+            st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
+                                 blocks=_host_put(st_vals_np), nrows=nr)
+        else:
+            st_bcols, st_vals_np, _ = _bcsr_arrays_np(StT, (Br, Bc),
+                                                      pad_rows_to=nr,
+                                                      dtype=np.float32)
+            st_blocks = BlockEll(bcols=jnp.asarray(st_bcols),
+                                 blocks=_host_cast(st_vals_np, dtype),
+                                 nrows=nr)
 
     # Association edges -> block scatter layout.
     Qu = scipy.sparse.triu(Q_csr.tocsr(), k=1).tocoo()
