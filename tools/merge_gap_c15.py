@@ -13,10 +13,12 @@ three cells.
 
 import argparse
 import json
-import math
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def summarize(path):
